@@ -1,0 +1,26 @@
+"""Decision & priority enums — same integer coding as the reference
+(internal/evaluators/policy_eval.go:21-34, internal/priority/priority.go:12-20)."""
+
+from __future__ import annotations
+
+UNSPECIFIED = 0
+PENDING = 1
+SAMPLED = 2
+NOT_SAMPLED = 3
+LOW_PRIORITY = 4
+
+DECISION_NAMES = {
+    UNSPECIFIED: "Unspecified",
+    PENDING: "Pending",
+    SAMPLED: "Sampled",
+    NOT_SAMPLED: "NotSampled",
+    LOW_PRIORITY: "LowPriority",
+}
+NAME_TO_DECISION = {v: k for k, v in DECISION_NAMES.items()}
+
+# decisive = decider returns immediately (decider.go:77-79); note Unspecified
+# (evaluator error) is NOT decisive — the loop continues.
+DECISIVE = (SAMPLED, NOT_SAMPLED, LOW_PRIORITY)
+
+PRIORITY_LOW = 1
+PRIORITY_UNSPECIFIED = 2

@@ -1,0 +1,144 @@
+"""Parse stage: tokenized sequences → span-row DataFrame.
+
+The numeric decode is one Arrow-batched ``mapInPandas`` pass (the only
+sanctioned Python besides the FNV hash — BASELINE.json input_hint). All
+string/map materialization (status names, attr maps, threshold attr
+string) is pure Catalyst expressions in :func:`enrich_spans`, so it stays
+inside whole-stage codegen. The stage is a narrow map — it preserves the
+scan partitioning; no shuffle until the per-trace aggregation.
+
+Reference parity: the parsed row carries exactly the fields the
+reference's evaluators read (FIXTURES.md §2; e.g. status
+internal/evaluators/status_code.go:56-66, threshold attr
+internal/evaluators/threshold.go:34-91, parent/root detection
+internal/evaluators/root_spans.go:79-89).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+# numeric columns produced by the decode UDF (beyond passthrough)
+DECODED_FIELDS = [
+    ("trace_hi", T.LongType()),
+    ("trace_lo", T.LongType()),
+    ("span_id", T.LongType()),
+    ("parent_span_id", T.LongType()),
+    ("start_ts", T.LongType()),
+    ("end_ts", T.LongType()),
+    ("status_id", T.IntegerType()),
+    ("threshold_len", T.IntegerType()),
+    ("threshold_value", T.LongType()),
+    ("name_id", T.IntegerType()),
+    ("is_decision_span", T.BooleanType()),
+    ("decision_value", T.BooleanType()),
+    ("flushes", T.IntegerType()),
+    ("event_name_id", T.IntegerType()),
+    ("attr_code", T.IntegerType()),
+    ("event_attr_code", T.IntegerType()),
+]
+
+
+def _decoded_schema(input_schema: T.StructType) -> T.StructType:
+    fields = list(input_schema.fields)
+    names = {f.name for f in fields}
+    for name, dtype in DECODED_FIELDS:
+        if name not in names:
+            fields.append(T.StructField(name, dtype, True))
+    return T.StructType(fields)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        vals = pdf["tokens"].to_numpy()
+        n = len(vals)
+        if n == 0:
+            continue
+        flat = np.concatenate([np.asarray(v, dtype=np.int32) for v in vals])
+        lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        head_idx = offsets[:-1, None] + np.arange(codec.HEADER_LEN)[None, :]
+        headers = flat[head_idx]
+        d = codec.decode_headers(headers)
+
+        out = pdf.copy()
+        for name in ("trace_hi", "trace_lo", "span_id", "parent_span_id", "start_ts", "end_ts"):
+            out[name] = d[name].view(np.int64)
+        out["status_id"] = d["status_code"]
+        out["threshold_len"] = d["threshold_len"]
+        out["threshold_value"] = d["threshold_value"].view(np.int64)
+        out["name_id"] = d["name_id"]
+        out["is_decision_span"] = d["is_decision_span"].astype(bool)
+        out["decision_value"] = d["decision_value"].astype(bool)
+        out["flushes"] = d["flushes"]
+        out["event_name_id"] = d["event_name_id"]
+        out["attr_code"] = d["attr_code"]
+        out["event_attr_code"] = d["event_attr_code"]
+        yield out
+
+
+def parse_sequences(df: DataFrame) -> DataFrame:
+    """tokens → numeric span fields (vectorized, narrow)."""
+    return df.mapInPandas(_decode_batches, schema=_decoded_schema(df.schema))
+
+
+def _attr_map(code_col: str):
+    """attr_code bitmask → map<string,string> via pure exprs."""
+    entries = [
+        F.when(
+            (F.col(code_col).bitwiseAND(F.lit(1 << bit))) != 0,
+            F.struct(F.lit(k).alias("key"), F.lit(v).alias("value")),
+        )
+        for bit, k, v in codec.ATTR_FLAGS
+    ]
+    return F.map_from_entries(F.filter(F.array(*entries), lambda x: x.isNotNull()))
+
+
+def _idx_lookup(values: list[str], idx_col, default=None):
+    """index → string via array literal element_at (codegen-friendly)."""
+    arr = F.array(*[F.lit(v) for v in values])
+    got = F.element_at(arr, idx_col + F.lit(1))
+    return F.when(idx_col >= 0, got).otherwise(F.lit(default))
+
+
+def enrich_spans(df: DataFrame) -> DataFrame:
+    """Materialize string/map span fields from numeric codes — Catalyst only."""
+    thr_hex = F.lower(F.lpad(F.hex(F.col("threshold_value")), 14, "0"))
+    return (
+        df.withColumn("status_code", _idx_lookup(codec.STATUS_CODES, F.col("status_id")))
+        .withColumn("name", _idx_lookup(codec.NAMES, F.col("name_id")))
+        .withColumn(
+            "sampling_tail_threshold",
+            F.when(
+                F.col("threshold_len") > 0,
+                F.concat(F.lit("0x"), thr_hex.substr(F.lit(1), F.col("threshold_len"))),
+            ),
+        )
+        .withColumn("attrs", _attr_map("attr_code"))
+        .withColumn("event_name", _idx_lookup(codec.EVENT_NAMES, F.col("event_name_id")))
+        .withColumn(
+            "event_attrs",
+            F.when(F.col("event_attr_code") >= 0, _attr_map("event_attr_code")),
+        )
+        # root detection per root_spans.go:86-88: empty parent OR parent ==
+        # right-8-bytes of the trace id
+        .withColumn(
+            "is_root",
+            (F.col("parent_span_id") == 0) | (F.col("parent_span_id") == F.col("trace_lo")),
+        )
+        .withColumn("flushes", F.when(F.col("flushes") >= 0, F.col("flushes")))
+    )
+
+
+def load_and_parse(spark, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return enrich_spans(parse_sequences(df))

@@ -1,0 +1,346 @@
+"""All 10 reference policy types as Catalyst expression builders.
+
+Parity sources (reference, /root/reference/pkg/processor/atlassiansamplingprocessor/):
+  probabilistic          internal/evaluators/probabilistic.go:34-71
+  remote_probabilistic   internal/evaluators/remote_probabilistic.go:44-100
+  span_count             internal/evaluators/span_count_sampler.go:33-54
+  latency                internal/evaluators/latency.go:26-43
+  status_code            internal/evaluators/status_code.go:30-66
+  ottl_condition         internal/evaluators/ottl.go:42-120 (comparison subset)
+  threshold              internal/evaluators/threshold.go:34-91 (OTEP-235)
+  and                    internal/evaluators/and.go:24-46
+  root_spans             internal/evaluators/root_spans.go:34-89
+  downgrader             internal/evaluators/downgrader.go:18-38
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import decision as D
+from .. import hashing
+from .base import AGG, Policy, PolicyError, hash_col_name
+
+MAX_THRESHOLD = (1 << 56) - 1  # threshold.go:18
+
+
+def _lit_d(d: int) -> Column:
+    return F.lit(d)
+
+
+# --------------------------------------------------------------------------
+# leaf policies
+
+
+@dataclass
+class Probabilistic(Policy):
+    sampling_percentage: float = 0.0
+    hash_salt: str = ""
+
+    def __post_init__(self):
+        if self.hash_salt == "":
+            self.hash_salt = hashing.DEFAULT_HASH_SALT
+        self.threshold = hashing.calculate_threshold(self.sampling_percentage / 100.0)
+
+    def required_hash_salts(self) -> set[str]:
+        return {self.hash_salt}
+
+    def decision(self) -> Column:
+        hit = hashing.unsigned_lte(F.col(hash_col_name(self.hash_salt)), self.threshold)
+        return F.when(hit, _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
+
+
+@dataclass
+class RemoteProbabilistic(Policy):
+    """Rate fetched from a provider at plan-build time per micro-batch;
+    errors / negative rates fall back to default_rate
+    (remote_probabilistic.go:77-100). The RateGetter extension itself is
+    not in the reference's open source (README.md:33) — any callable works.
+    """
+
+    default_rate: float = 0.0
+    hash_salt: str = ""
+    rate_getter: Callable[[], float] | None = None
+
+    def __post_init__(self):
+        if self.hash_salt == "":
+            self.hash_salt = hashing.DEFAULT_HASH_SALT
+
+    def required_hash_salts(self) -> set[str]:
+        return {self.hash_salt}
+
+    def _current_rate(self) -> float:
+        if self.rate_getter is not None:
+            try:
+                r = float(self.rate_getter())
+                if r >= 0:
+                    return r
+            except Exception:
+                pass  # decider logs and proceeds with the decision
+        return self.default_rate
+
+    def decision(self) -> Column:
+        threshold = hashing.calculate_threshold(self._current_rate() / 100.0)
+        hit = hashing.unsigned_lte(F.col(hash_col_name(self.hash_salt)), threshold)
+        return F.when(hit, _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
+
+
+@dataclass
+class SpanCount(Policy):
+    min_spans: int = 0
+    log_sampled: bool = False  # log-only in reference; no decision effect
+
+    def decision(self) -> Column:
+        return F.when(
+            F.col(AGG.TOTAL_SPAN_COUNT) >= F.lit(self.min_spans), _lit_d(D.SAMPLED)
+        ).otherwise(_lit_d(D.PENDING))
+
+
+@dataclass
+class Latency(Policy):
+    threshold_ms: int = 0
+
+    def decision(self) -> Column:
+        # Go duration.Milliseconds() truncates ns → ms (latency.go:34-38);
+        # `div` is integer division, inclusive >= comparison.
+        dur_ms = F.expr(f"({AGG.MAX_END} - {AGG.MIN_START}) div 1000000")
+        return F.when(dur_ms >= F.lit(self.threshold_ms), _lit_d(D.SAMPLED)).otherwise(
+            _lit_d(D.PENDING)
+        )
+
+
+_STATUS_FLAG = {
+    "UNSET": AGG.ANY_STATUS_UNSET,
+    "OK": AGG.ANY_STATUS_OK,
+    "ERROR": AGG.ANY_STATUS_ERROR,
+}
+
+
+@dataclass
+class StatusCode(Policy):
+    status_codes: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.status_codes:
+            raise PolicyError("expected at least one status code to filter on")
+        for s in self.status_codes:
+            if s not in _STATUS_FLAG:
+                raise PolicyError(f"unknown status code {s!r}, supported: OK, ERROR, UNSET")
+
+    def decision(self) -> Column:
+        flags = [F.col(_STATUS_FLAG[s]) for s in self.status_codes]
+        any_hit = reduce(lambda a, b: a | b, flags)
+        return F.when(any_hit, _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
+
+
+# --- OTTL comparison subset -------------------------------------------------
+
+_OTTL_RE = re.compile(
+    r'^\s*(?:attributes\[\s*"(?P<attr>[^"]+)"\s*\]|(?P<field>name|kind|trace_state))'
+    r'\s*(?P<op>==|!=)\s*"(?P<val>[^"]*)"\s*$'
+)
+
+
+def _ottl_span_condition(cond: str) -> Column:
+    m = _OTTL_RE.match(cond)
+    if not m:
+        raise PolicyError(f"unsupported OTTL span condition: {cond!r}")
+    if m.group("attr") is not None:
+        # absent attr: OTTL `attributes["k"] == "v"` is false, `!=` is true
+        lhs = F.col("attrs").getItem(m.group("attr"))
+    elif m.group("field") == "name":
+        lhs = F.col("name")
+    else:
+        raise PolicyError(f"unsupported OTTL span field: {m.group('field')!r}")
+    val = F.lit(m.group("val"))
+    if m.group("op") == "==":
+        return lhs.isNotNull() & (lhs == val)
+    return lhs.isNull() | (lhs != val)
+
+
+def _ottl_event_condition(cond: str) -> Column:
+    m = _OTTL_RE.match(cond)
+    if not m:
+        raise PolicyError(f"unsupported OTTL spanevent condition: {cond!r}")
+    if m.group("attr") is not None:
+        lhs = F.col("event_attrs").getItem(m.group("attr"))
+    elif m.group("field") == "name":
+        lhs = F.col("event_name")
+    else:
+        raise PolicyError(f"unsupported OTTL spanevent field: {m.group('field')!r}")
+    val = F.lit(m.group("val"))
+    has_event = F.col("event_name").isNotNull()
+    if m.group("op") == "==":
+        return has_event & lhs.isNotNull() & (lhs == val)
+    return has_event & (lhs.isNull() | (lhs != val))
+
+
+@dataclass
+class OTTLCondition(Policy):
+    """Any span (event) matching any condition ⇒ Sampled (ottl.go:42-120,
+    OR across the condition sequence). Supports the comparison subset the
+    reference's fixtures use (ottl_test.go:22-112,
+    testdata/atlassian_sampling_test_cfg.yml:70-83); unsupported syntax
+    is a build-time PolicyError.
+    """
+
+    span_conditions: list[str] = field(default_factory=list)
+    span_event_conditions: list[str] = field(default_factory=list)
+    error_mode: str = "ignore"
+
+    def __post_init__(self):
+        if not self.span_conditions and not self.span_event_conditions:
+            raise PolicyError("at least one OTTL condition must be specified")
+        self._span_cols = [_ottl_span_condition(c) for c in self.span_conditions]
+        self._event_cols = [_ottl_event_condition(c) for c in self.span_event_conditions]
+
+    def _flag(self) -> str:
+        return f"ottl_match_{re.sub(r'[^A-Za-z0-9_]', '_', self.name)}"
+
+    def span_agg_exprs(self) -> list[Column]:
+        conds = self._span_cols + self._event_cols
+        any_cond = reduce(lambda a, b: a | b, conds)
+        return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]
+
+    def decision(self) -> Column:
+        return F.when(F.col(self._flag()), _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
+
+
+@dataclass
+class Threshold(Policy):
+    """OTEP-235 consistent threshold sampling (threshold.go:34-91):
+    min over spans' valid `sampling.tail.threshold`; a min that stays at
+    2^56−1 counts as "not found" (the evaluator's sentinel init) ⇒
+    Pending; else Sampled iff rv (rightmost 7 bytes of trace id) >= min.
+    """
+
+    def decision(self) -> Column:
+        rv = F.col(AGG.TRACE_LO).bitwiseAND(F.lit(MAX_THRESHOLD))
+        min_thr = F.col(AGG.MIN_THRESHOLD)
+        found = min_thr.isNotNull() & (min_thr < F.lit(MAX_THRESHOLD))
+        return F.when(
+            found & (rv >= min_thr), _lit_d(D.SAMPLED)
+        ).otherwise(_lit_d(D.PENDING))
+
+
+def parse_threshold_attr(attr: Column) -> Column:
+    """String-level OTEP-235 parse for a `sampling.tail.threshold` attr:
+    requires `0x` prefix, ≤14 hex chars, right-pads to 56 bits; invalid ⇒
+    null (threshold.go:60-84). Used where thresholds arrive as strings.
+    """
+    # bare "0x" is valid (pads to zero ⇒ threshold 0, threshold_test.go
+    # "threshold 0" case); >14 hex chars or missing 0x is invalid.
+    valid = attr.isNotNull() & attr.rlike("^0x[0-9a-fA-F]{0,14}$")
+    padded = F.rpad(F.substring(attr, 3, 14), 14, "0")
+    return F.when(valid, F.conv(padded, 16, 10).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# composite policies
+
+
+@dataclass
+class AndPolicy(Policy):
+    sub_policies: list[Policy] = field(default_factory=list)
+
+    def span_agg_exprs(self) -> list[Column]:
+        return [e for p in self.sub_policies for e in p.span_agg_exprs()]
+
+    def required_hash_salts(self) -> set[str]:
+        return set().union(*[p.required_hash_salts() for p in self.sub_policies], set())
+
+    def decision(self) -> Column:
+        # first non-Sampled sub-decision wins; all Sampled ⇒ Sampled
+        # (and.go:34-46). A sub error (Unspecified) propagates as the
+        # returned decision with the error.
+        result: Column = _lit_d(D.SAMPLED)
+        for sub in reversed(self.sub_policies):
+            d = sub.decision()
+            result = F.when(d != _lit_d(D.SAMPLED), d).otherwise(result)
+        return result
+
+
+@dataclass
+class RootSpans(Policy):
+    sub_policy: Policy | None = None
+
+    def span_agg_exprs(self) -> list[Column]:
+        return self.sub_policy.span_agg_exprs() if self.sub_policy else []
+
+    def required_hash_salts(self) -> set[str]:
+        return self.sub_policy.required_hash_salts() if self.sub_policy else set()
+
+    def decision(self) -> Column:
+        sub = self.sub_policy.decision()
+        default = F.when(
+            F.col(AGG.MERGED_PRIORITY) == F.lit(D.PRIORITY_LOW), _lit_d(D.LOW_PRIORITY)
+        ).otherwise(_lit_d(D.PENDING))
+        lone_root = (F.col(AGG.TOTAL_SPAN_COUNT) == 1) & F.col(AGG.ANY_ROOT)
+        return (
+            F.when(sub == _lit_d(D.UNSPECIFIED), _lit_d(D.UNSPECIFIED))  # sub error
+            .when(sub == _lit_d(D.SAMPLED), _lit_d(D.PENDING))  # promote-block
+            .when(lone_root, _lit_d(D.LOW_PRIORITY))
+            .otherwise(default)
+        )
+
+
+@dataclass
+class Downgrader(Policy):
+    downgrade_to: str = "NotSampled"
+    sub_policy: Policy | None = None
+
+    def __post_init__(self):
+        if self.downgrade_to not in D.NAME_TO_DECISION:
+            raise PolicyError(f"invalid downgrade_to decision: {self.downgrade_to!r}")
+        self._to = D.NAME_TO_DECISION[self.downgrade_to]
+
+    def span_agg_exprs(self) -> list[Column]:
+        return self.sub_policy.span_agg_exprs() if self.sub_policy else []
+
+    def required_hash_salts(self) -> set[str]:
+        return self.sub_policy.required_hash_salts() if self.sub_policy else set()
+
+    def decision(self) -> Column:
+        sub = self.sub_policy.decision()
+        return F.when(sub == _lit_d(D.SAMPLED), _lit_d(self._to)).otherwise(sub)
+
+
+# --------------------------------------------------------------------------
+# test stubs (decider-parity tests emulate evaluator runtime errors)
+
+
+@dataclass
+class ErrorStub(Policy):
+    """Always 'errors' → Unspecified (decider logs & continues)."""
+
+    def decision(self) -> Column:
+        return _lit_d(D.UNSPECIFIED)
+
+
+@dataclass
+class StaticStub(Policy):
+    static_decision: int = D.PENDING
+
+    def decision(self) -> Column:
+        return _lit_d(self.static_decision)
+
+
+# --------------------------------------------------------------------------
+# helpers used by the aggregation/decider layers
+
+
+def collect_span_agg_exprs(policies: list[Policy]) -> list[Column]:
+    return [e for p in policies for e in p.span_agg_exprs()]
+
+
+def collect_hash_salts(policies: list[Policy]) -> set[str]:
+    salts: set[str] = set()
+    for p in policies:
+        salts |= p.required_hash_salts()
+    return salts

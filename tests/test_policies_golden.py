@@ -1,0 +1,295 @@
+"""Golden decision tables ported from the reference evaluator tests
+(FIXTURES.md §4). Each case builds the merged per-trace aggregate the
+policy expressions read and asserts the Decision code.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlassian_sampling_processor_spark import decision as D
+from atlassian_sampling_processor_spark.policies import (
+    AndPolicy,
+    Downgrader,
+    ErrorStub,
+    Latency,
+    OTTLCondition,
+    PolicyError,
+    RootSpans,
+    SpanCount,
+    StaticStub,
+    StatusCode,
+    Threshold,
+)
+from atlassian_sampling_processor_spark.policies.builders import parse_threshold_attr
+
+from .conftest import hex_trace, merged_df
+
+
+def eval_one(spark, policy, row_over: dict) -> int:
+    df = merged_df(spark, [row_over])
+    return df.select(policy.decision().alias("d")).collect()[0].d
+
+
+# --- threshold / OTEP-235 (threshold_test.go:22-150) -----------------------
+
+THRESHOLD_CASES = [
+    # (trace_id, thresholds, expected)
+    ("0000000000000000007fffffffffffff", ["0x7ffffffffffffe"], D.SAMPLED),
+    ("0000000000000000007ffffffffffffe", ["0x7fffffffffffff"], D.PENDING),
+    ("0000000000000000007fffffffffffff", ["0x8"], D.PENDING),
+    ("0000000000000000008fffffffffffff", ["0x8"], D.SAMPLED),
+    ("00000000000000000000000000000000", ["0x"], D.SAMPLED),
+    ("000000000000000000fd70a3d5000000", ["0xfd70a3d6", "0xfd70a3d5"], D.SAMPLED),
+    ("000000000000000000fd70a3d5000000", ["0xfd70a3d5", "0xfd70a3d6"], D.SAMPLED),
+    ("0000000000000000fffffffffffffffe", ["0xffffffffffffff"], D.PENDING),
+    ("0000000000000000ffffffffffffffff", ["invalid", "0x000"], D.SAMPLED),
+    ("0000000000000000ffffffffffffffff", ["invalid", "00000"], D.PENDING),
+    ("0000000000000000ffffffffffffffff", ["000000000000000"], D.PENDING),
+    ("0000000000000000ffffffffffffffff", [None], D.PENDING),  # span w/o threshold
+]
+
+
+@pytest.mark.parametrize("trace_id,thresholds,expected", THRESHOLD_CASES)
+def test_threshold_golden(spark, trace_id, thresholds, expected):
+    hi, lo = hex_trace(trace_id)
+    # string-level parse (threshold.go:60-84) then the per-trace min + rv compare
+    spans = spark.createDataFrame(
+        [(t,) for t in thresholds], schema="sampling_tail_threshold string"
+    )
+    parsed = spans.select(parse_threshold_attr(F.col("sampling_tail_threshold")).alias("tv"))
+    agg = parsed.agg(F.min("tv").alias("min_threshold")).collect()[0]
+    got = eval_one(
+        spark,
+        Threshold(name="p"),
+        dict(trace_hi=hi, trace_lo=lo, min_threshold=agg.min_threshold),
+    )
+    assert got == expected
+
+
+# --- root_spans (root_spans_test.go:27-167) ---------------------------------
+
+
+@pytest.mark.parametrize(
+    "span_count,any_root,sub,prio,expected",
+    [
+        (1, True, StaticStub(name="s", static_decision=D.PENDING), 2, D.LOW_PRIORITY),
+        (1, False, StaticStub(name="s", static_decision=D.PENDING), 2, D.PENDING),
+        (1, False, StaticStub(name="s", static_decision=D.PENDING), 1, D.LOW_PRIORITY),
+        (1, False, StaticStub(name="s", static_decision=D.SAMPLED), 1, D.PENDING),
+        (2, True, StaticStub(name="s", static_decision=D.SAMPLED), 2, D.PENDING),
+        (10, True, StaticStub(name="s", static_decision=D.PENDING), 2, D.PENDING),
+        (1, True, ErrorStub(name="s"), 2, D.UNSPECIFIED),
+    ],
+)
+def test_root_spans_golden(spark, span_count, any_root, sub, prio, expected):
+    pol = RootSpans(name="root", sub_policy=sub)
+    got = eval_one(
+        spark,
+        pol,
+        dict(total_span_count=span_count, any_root=any_root, merged_priority=prio),
+    )
+    assert got == expected
+
+
+# --- latency (latency_test.go:21-66: >= threshold, ms truncation) ----------
+
+
+@pytest.mark.parametrize(
+    "dur_ms,thr_ms,expected",
+    [(4500, 5000, D.PENDING), (5000, 5000, D.SAMPLED), (8000, 5000, D.SAMPLED)],
+)
+def test_latency_golden(spark, dur_ms, thr_ms, expected):
+    got = eval_one(
+        spark,
+        Latency(name="lat", threshold_ms=thr_ms),
+        dict(merged_min_start=10**9, merged_max_end=10**9 + dur_ms * 1_000_000),
+    )
+    assert got == expected
+
+
+def test_latency_truncates_sub_ms(spark):
+    # 4999.999999 ms → 4999 ms < 5000 ⇒ Pending (Go Milliseconds() truncation)
+    got = eval_one(
+        spark,
+        Latency(name="lat", threshold_ms=5000),
+        dict(merged_min_start=0, merged_max_end=5_000_000_000 - 1),
+    )
+    assert got == D.PENDING
+
+
+# --- span_count (span_count_sampler_test.go:21-63) --------------------------
+
+
+@pytest.mark.parametrize(
+    "batch,cached,expected",
+    [(1, 0, D.PENDING), (3, 0, D.SAMPLED), (2, 1, D.SAMPLED)],
+)
+def test_span_count_golden(spark, batch, cached, expected):
+    got = eval_one(
+        spark,
+        SpanCount(name="sc", min_spans=3),
+        dict(batch_span_count=batch, total_span_count=batch + cached),
+    )
+    assert got == expected
+
+
+def test_span_count_min_zero_always_samples(spark):
+    got = eval_one(spark, SpanCount(name="sc", min_spans=0), dict(total_span_count=1))
+    assert got == D.SAMPLED
+
+
+# --- status_code (status_code_test.go:20-84) --------------------------------
+
+
+def test_status_code_build_errors():
+    with pytest.raises(PolicyError):
+        StatusCode(name="s", status_codes=[])
+    with pytest.raises(PolicyError):
+        StatusCode(name="s", status_codes=["BOGUS"])
+
+
+@pytest.mark.parametrize(
+    "codes,flags,expected",
+    [
+        (["ERROR"], dict(any_status_error=True), D.SAMPLED),
+        (["ERROR"], dict(any_status_ok=True), D.PENDING),
+        (["ERROR", "UNSET"], dict(any_status_unset=True), D.SAMPLED),
+        (["OK"], dict(any_status_ok=True), D.SAMPLED),
+        (["OK", "ERROR", "UNSET"], dict(), D.PENDING),
+    ],
+)
+def test_status_code_golden(spark, codes, flags, expected):
+    got = eval_one(spark, StatusCode(name="s", status_codes=codes), flags)
+    assert got == expected
+
+
+# --- and (and_test.go:23-67) -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "subs,expected",
+    [
+        ([D.SAMPLED, D.SAMPLED], D.SAMPLED),
+        ([D.PENDING, D.SAMPLED], D.PENDING),
+        ([D.SAMPLED, D.PENDING], D.PENDING),
+        ([D.SAMPLED, D.NOT_SAMPLED, D.PENDING], D.NOT_SAMPLED),
+        ([D.LOW_PRIORITY, D.SAMPLED], D.LOW_PRIORITY),
+    ],
+)
+def test_and_golden(spark, subs, expected):
+    pol = AndPolicy(
+        name="and",
+        sub_policies=[StaticStub(name=f"s{i}", static_decision=d) for i, d in enumerate(subs)],
+    )
+    assert eval_one(spark, pol, {}) == expected
+
+
+def test_and_sub_error_is_unspecified(spark):
+    pol = AndPolicy(
+        name="and",
+        sub_policies=[StaticStub(name="a", static_decision=D.SAMPLED), ErrorStub(name="e")],
+    )
+    assert eval_one(spark, pol, {}) == D.UNSPECIFIED
+
+
+# --- downgrader (downgrader_test.go:16-42) -----------------------------------
+
+
+@pytest.mark.parametrize(
+    "sub,to,expected",
+    [
+        (D.SAMPLED, "NotSampled", D.NOT_SAMPLED),
+        (D.SAMPLED, "LowPriority", D.LOW_PRIORITY),
+        (D.PENDING, "NotSampled", D.PENDING),
+        (D.NOT_SAMPLED, "LowPriority", D.NOT_SAMPLED),
+    ],
+)
+def test_downgrader_golden(spark, sub, to, expected):
+    pol = Downgrader(
+        name="dg", downgrade_to=to, sub_policy=StaticStub(name="s", static_decision=sub)
+    )
+    assert eval_one(spark, pol, {}) == expected
+
+
+def test_downgrader_sub_error(spark):
+    pol = Downgrader(name="dg", downgrade_to="NotSampled", sub_policy=ErrorStub(name="e"))
+    assert eval_one(spark, pol, {}) == D.UNSPECIFIED
+
+
+def test_downgrader_invalid_target():
+    with pytest.raises(PolicyError):
+        Downgrader(name="dg", downgrade_to="Bogus", sub_policy=StaticStub(name="s"))
+
+
+# --- ottl_condition (ottl_test.go:22-112) ------------------------------------
+
+SPAN_SCHEMA = (
+    "doc_id string, trace_hi long, trace_lo long, start_ts long, end_ts long,"
+    " status_id int, threshold_len int, threshold_value long, is_root boolean,"
+    " source string, name string, attrs map<string,string>,"
+    " event_name string, event_attrs map<string,string>"
+)
+
+
+def span_row(**over):
+    base = dict(
+        doc_id="0" * 32,
+        trace_hi=0,
+        trace_lo=0,
+        start_ts=0,
+        end_ts=0,
+        status_id=0,
+        threshold_len=0,
+        threshold_value=0,
+        is_root=False,
+        source="svc",
+        name="span-name",
+        attrs={},
+        event_name=None,
+        event_attrs=None,
+    )
+    base.update(over)
+    return base
+
+
+def eval_ottl(spark, pol, spans) -> int:
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    df = spark.createDataFrame([span_row(**s) for s in spans], schema=SPAN_SCHEMA)
+    agg = aggregate_batch(df, [pol])
+    merged = merge_with_pending(agg, None)
+    out = make_decision(merged, [pol]).collect()
+    assert len(out) == 1
+    return out[0].decision
+
+
+def test_ottl_build_errors():
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o")  # no conditions
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o", span_conditions=["invalid_expr"])
+
+
+@pytest.mark.parametrize(
+    "span_conds,event_conds,spans,expected",
+    [
+        (['attributes["attr_k_1"] == "attr_v_1"'], [], [dict(attrs={"attr_k_1": "attr_v_1"})], D.SAMPLED),
+        (['attributes["attr_k_1"] != "attr_v_1"'], [], [dict(attrs={"attr_k_1": "attr_v_1"})], D.PENDING),
+        (['attributes["attr_k_1"] != "attr_v_1"'], [], [dict(attrs={"attr_k_1": "attr_v_2"})], D.SAMPLED),
+        ([], ['attributes["ek"] == "ev"'], [dict(event_name="x", event_attrs={"ek": "ev"})], D.SAMPLED),
+        ([], ['name != "incorrect event name"'], [dict(event_name="real-event")], D.SAMPLED),
+        ([], ['name != "incorrect event name"'], [dict()], D.PENDING),  # no event on span
+        (
+            ['attributes["attr_k_1"] == "attr_v_1"'],
+            ['attributes["ek"] == "ev"'],
+            [dict(attrs={"other": "v"})],
+            D.PENDING,
+        ),
+    ],
+)
+def test_ottl_golden(spark, span_conds, event_conds, spans, expected):
+    pol = OTTLCondition(
+        name="ottl", span_conditions=span_conds, span_event_conditions=event_conds
+    )
+    assert eval_ottl(spark, pol, spans) == expected
