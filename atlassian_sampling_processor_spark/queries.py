@@ -1,0 +1,404 @@
+"""Driver-facing query suite: every operator from SURVEY.md §2 as a
+(Spark DataFrame builder, DuckDB oracle SQL) pair over the shared test
+tables (events / documents / embeddings).
+
+The events table is mapped to span-land deterministically in BOTH
+engines: trace_key = user_id, span = event, start/end µs from ts+value,
+status from event_type ('error'→ERROR, 'purchase'→OK, else UNSET). The
+sampling semantics mirror the reference evaluators exactly (citations on
+each query); the FNV-1a64 oracle is generated as unrolled 64-bit SQL so
+even the probabilistic policy is value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import decision as D
+from .hashing import DEFAULT_HASH_SALT, MASK64, calculate_threshold, fnv1a64, unsigned_lte
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+SPAN_VIEW_SQL = """
+  SELECT user_id AS trace_key,
+         event_id AS span_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(floor(value * 1000) AS BIGINT) AS end_us,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'OK'
+              ELSE 'UNSET' END AS status_code
+  FROM events
+"""
+
+
+def span_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast preserves the µs value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.col("event_id").alias("span_id"),
+        us.alias("start_us"),
+        (us + F.floor(F.col("value") * 1000).cast("long")).alias("end_us"),
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "purchase", "OK")
+        .otherwise("UNSET")
+        .alias("status_code"),
+    )
+
+
+# per-trace aggregate used by several policies (the NewTraceData metadata
+# build, internal/tracedata/tracedata.go:24-62)
+TRACE_AGG_SQL = f"""
+  SELECT trace_key,
+         CAST(count(*) AS BIGINT) AS span_count,
+         min(start_us) AS min_start,
+         max(end_us) AS max_end,
+         CAST(max(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS any_error,
+         CAST(max(CASE WHEN status_code = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS any_ok
+  FROM ({SPAN_VIEW_SQL}) GROUP BY trace_key
+"""
+
+
+def trace_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_view(spark, sf_dir).groupBy("trace_key").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.min("start_us").alias("min_start"),
+        F.max("end_us").alias("max_end"),
+        F.max((F.col("status_code") == "ERROR").cast("long")).alias("any_error"),
+        F.max((F.col("status_code") == "OK").cast("long")).alias("any_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# policy queries (SURVEY.md §2.4)
+
+MIN_SPANS = 70
+LATENCY_MS = 2_400_000_000  # ~27.8 days; events span ~31 days → both outcomes
+
+
+def q_span_count(spark, sf_dir):
+    """span_count policy (span_count_sampler.go:33-54): merged SpanCount
+    >= min_spans ⇒ Sampled else Pending."""
+    agg = trace_agg(spark, sf_dir)
+    return agg.select(
+        "trace_key",
+        "span_count",
+        F.when(F.col("span_count") >= MIN_SPANS, "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_SPAN_COUNT = f"""
+  SELECT trace_key, span_count,
+         CASE WHEN span_count >= {MIN_SPANS} THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+def q_latency(spark, sf_dir):
+    """latency policy (latency.go:26-43): trunc-ms duration >= threshold."""
+    agg = trace_agg(spark, sf_dir)
+    dur_ms = F.expr("(max_end - min_start) div 1000")
+    return agg.select(
+        "trace_key",
+        dur_ms.alias("duration_ms"),
+        F.when(dur_ms >= F.lit(LATENCY_MS), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_LATENCY = f"""
+  SELECT trace_key,
+         (max_end - min_start) // 1000 AS duration_ms,
+         CASE WHEN (max_end - min_start) // 1000 >= {LATENCY_MS} THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+def q_status_code(spark, sf_dir):
+    """status_code policy (status_code.go:30-66): any span in batch with a
+    configured status ⇒ Sampled. Configured: [ERROR]."""
+    agg = trace_agg(spark, sf_dir)
+    return agg.select(
+        "trace_key",
+        F.when(F.col("any_error") == 1, "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_STATUS_CODE = f"""
+  SELECT trace_key,
+         CASE WHEN any_error = 1 THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+# --- threshold / OTEP-235 ----------------------------------------------------
+
+MAX_THRESHOLD = (1 << 56) - 1
+
+# derived deterministic threshold attr: spans with event_id % 3 == 0 carry a
+# 56-bit threshold from md5; rv = 56 bits derived from the trace key
+THRESH_SQL_EXPR = "('0x' || substr(md5(CAST(span_id AS VARCHAR)), 1, 14))::BIGINT"
+RV_SQL_EXPR = "('0x' || substr(md5(CAST(trace_key AS VARCHAR)), 1, 14))::BIGINT"
+
+
+def q_threshold(spark, sf_dir):
+    """threshold policy (threshold.go:34-91): min valid threshold per
+    trace; min == 2^56−1 counts as absent; Sampled iff rv >= min."""
+    sv = span_view(spark, sf_dir)
+    thr = F.conv(F.substring(F.md5(F.col("span_id").cast("string")), 1, 14), 16, 10).cast("long")
+    rv = F.conv(F.substring(F.md5(F.col("trace_key").cast("string")), 1, 14), 16, 10).cast("long")
+    agg = (
+        sv.withColumn("thr", F.when(F.col("span_id") % 3 == 0, thr))
+        .withColumn("rv", rv)
+        .groupBy("trace_key")
+        .agg(F.min("thr").alias("min_threshold"), F.first("rv").alias("rv"))
+    )
+    found = F.col("min_threshold").isNotNull() & (F.col("min_threshold") < MAX_THRESHOLD)
+    return agg.select(
+        "trace_key",
+        "min_threshold",
+        F.when(found & (F.col("rv") >= F.col("min_threshold")), "Sampled")
+        .otherwise("Pending")
+        .alias("decision"),
+    )
+
+
+SQL_THRESHOLD = f"""
+  WITH sv AS ({SPAN_VIEW_SQL}),
+  agg AS (
+    SELECT trace_key,
+           min(CASE WHEN span_id % 3 = 0 THEN {THRESH_SQL_EXPR} END) AS min_threshold,
+           min({RV_SQL_EXPR}) AS rv
+    FROM sv GROUP BY trace_key
+  )
+  SELECT trace_key, min_threshold,
+         CASE WHEN min_threshold IS NOT NULL AND min_threshold < {MAX_THRESHOLD}
+                   AND rv >= min_threshold
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM agg
+"""
+
+
+# --- probabilistic (FNV-1a64, bit-exact oracle) -------------------------------
+
+PROB_PCT = 25.0
+
+
+def fnv_oracle_sql(key_expr: str, salt: str = DEFAULT_HASH_SALT) -> str:
+    """Unrolled FNV-1a64 over salt ‖ 16-byte trace id (hi=0, lo=key) as
+    DuckDB lateral-alias SQL returning unsigned HUGEINT `fnv_u`.
+
+    The salt prefix and the 8 zero bytes of hi are folded in Python; only
+    the 8 data-dependent bytes of the key unroll in SQL. Arithmetic is
+    two's-complement-exact: xor on BIGINT, widen to unsigned HUGEINT,
+    wrap-multiply by the FNV prime mod 2^64.
+    """
+    h = fnv1a64(salt.encode())
+    h = fnv1a64(bytes(8), h)  # hi == 0 for integer trace keys
+    steps = []
+    prev = f"CAST({h - (1 << 64) if h >= (1 << 63) else h} AS BIGINT)"
+    for i in range(8):
+        shift = 8 * (7 - i)
+        b = f"(({key_expr}) >> {shift}) & 255"
+        hv = (
+            f"(((xor({prev}, {b})::HUGEINT) & 18446744073709551615) * 1099511628211)"
+            f" & 18446744073709551615"
+        )
+        steps.append(f"{hv} AS hv{i}")
+        prev = (
+            f"CAST(CASE WHEN hv{i} >= 9223372036854775808 THEN hv{i} - 18446744073709551616"
+            f" ELSE hv{i} END AS BIGINT)"
+        )
+    steps.append(f"({prev}::HUGEINT) & 18446744073709551615 AS fnv_u")
+    return ", ".join(steps)
+
+
+def q_probabilistic(spark, sf_dir):
+    """probabilistic policy (probabilistic.go:34-71): FNV-1a64(salt ‖ id)
+    <= uint64(pct/100 · MaxUint64), inclusive."""
+    from .hashing import fnv_hash_column
+
+    agg = trace_agg(spark, sf_dir).select(
+        "trace_key", F.lit(0).cast("long").alias("trace_hi"), F.col("trace_key").alias("trace_lo")
+    )
+    agg = agg.withColumn("fnv", fnv_hash_column(DEFAULT_HASH_SALT))
+    thr = calculate_threshold(PROB_PCT / 100.0)
+    return agg.select(
+        "trace_key",
+        F.when(unsigned_lte(F.col("fnv"), thr), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+def sql_probabilistic() -> str:
+    thr = calculate_threshold(PROB_PCT / 100.0)
+    return f"""
+      SELECT trace_key,
+             CASE WHEN fnv_u <= {thr}::HUGEINT THEN 'Sampled' ELSE 'Pending' END AS decision
+      FROM (
+        SELECT trace_key, {fnv_oracle_sql("trace_key")}
+        FROM (SELECT DISTINCT user_id AS trace_key FROM events)
+      )
+    """
+
+
+# --- full decider chain (decider.go:41-81) ------------------------------------
+
+
+def q_decider_chain(spark, sf_dir):
+    """Ordered policy list [status_code(ERROR), span_count(70),
+    latency, probabilistic(25%)]; first non-Pending wins; all-Pending ⇒
+    Pending with NULL policy."""
+    from .hashing import fnv_hash_column
+
+    agg = trace_agg(spark, sf_dir).select(
+        "*", F.lit(0).cast("long").alias("trace_hi"), F.col("trace_key").alias("trace_lo")
+    )
+    agg = agg.withColumn("fnv", fnv_hash_column(DEFAULT_HASH_SALT))
+    thr = calculate_threshold(PROB_PCT / 100.0)
+    d1 = F.when(F.col("any_error") == 1, F.lit("Sampled"))
+    d2 = F.when(F.col("span_count") >= MIN_SPANS, F.lit("Sampled"))
+    d3 = F.when(F.expr("(max_end - min_start) div 1000") >= LATENCY_MS, F.lit("Sampled"))
+    d4 = F.when(unsigned_lte(F.col("fnv"), thr), F.lit("Sampled"))
+    chain = F.coalesce(
+        F.when(d1.isNotNull(), F.struct(d1.alias("d"), F.lit("errors").alias("p"))),
+        F.when(d2.isNotNull(), F.struct(d2.alias("d"), F.lit("big").alias("p"))),
+        F.when(d3.isNotNull(), F.struct(d3.alias("d"), F.lit("slow").alias("p"))),
+        F.when(d4.isNotNull(), F.struct(d4.alias("d"), F.lit("prob25").alias("p"))),
+        F.struct(F.lit("Pending").alias("d"), F.lit(None).cast("string").alias("p")),
+    )
+    return agg.select(
+        "trace_key", chain["d"].alias("decision"), chain["p"].alias("policy")
+    )
+
+
+def sql_decider_chain() -> str:
+    thr = calculate_threshold(PROB_PCT / 100.0)
+    return f"""
+      WITH agg AS ({TRACE_AGG_SQL}),
+      h AS (
+        SELECT trace_key, {fnv_oracle_sql("trace_key")}
+        FROM (SELECT DISTINCT user_id AS trace_key FROM events)
+      )
+      SELECT a.trace_key,
+             CASE WHEN a.any_error = 1 THEN 'Sampled'
+                  WHEN a.span_count >= {MIN_SPANS} THEN 'Sampled'
+                  WHEN (a.max_end - a.min_start) // 1000 >= {LATENCY_MS} THEN 'Sampled'
+                  WHEN h.fnv_u <= {thr}::HUGEINT THEN 'Sampled'
+                  ELSE 'Pending' END AS decision,
+             CASE WHEN a.any_error = 1 THEN 'errors'
+                  WHEN a.span_count >= {MIN_SPANS} THEN 'big'
+                  WHEN (a.max_end - a.min_start) // 1000 >= {LATENCY_MS} THEN 'slow'
+                  WHEN h.fnv_u <= {thr}::HUGEINT THEN 'prob25'
+                  ELSE NULL END AS policy
+      FROM agg a JOIN h USING (trace_key)
+    """
+
+
+# --- metadata merge (metadata.go:29-39) ----------------------------------------
+
+
+def q_metadata_merge(spark, sf_dir):
+    """Two-phase MergeWith: batch0 = even event_ids, batch1 = odd; merge
+    cached+incoming with sum/min/max — exactly Metadata.MergeWith."""
+    sv = span_view(spark, sf_dir)
+    b0 = sv.filter(F.col("span_id") % 2 == 0).groupBy("trace_key").agg(
+        F.count(F.lit(1)).alias("c0"), F.min("start_us").alias("s0"), F.max("end_us").alias("e0")
+    )
+    b1 = sv.filter(F.col("span_id") % 2 == 1).groupBy("trace_key").agg(
+        F.count(F.lit(1)).alias("c1"), F.min("start_us").alias("s1"), F.max("end_us").alias("e1")
+    )
+    m = b0.join(b1, "trace_key", "full_outer")
+    return m.select(
+        "trace_key",
+        (F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))).alias("span_count"),
+        F.least("s0", "s1").alias("min_start"),
+        F.greatest("e0", "e1").alias("max_end"),
+    )
+
+
+SQL_METADATA_MERGE = f"""
+  WITH sv AS ({SPAN_VIEW_SQL}),
+  b0 AS (SELECT trace_key, CAST(count(*) AS BIGINT) c0, min(start_us) s0, max(end_us) e0
+         FROM sv WHERE span_id % 2 = 0 GROUP BY trace_key),
+  b1 AS (SELECT trace_key, CAST(count(*) AS BIGINT) c1, min(start_us) s1, max(end_us) e1
+         FROM sv WHERE span_id % 2 = 1 GROUP BY trace_key)
+  SELECT COALESCE(b0.trace_key, b1.trace_key) AS trace_key,
+         COALESCE(c0, 0) + COALESCE(c1, 0) AS span_count,
+         least(s0, s1) AS min_start,
+         greatest(e0, e1) AS max_end
+  FROM b0 FULL OUTER JOIN b1 USING (trace_key)
+"""
+
+
+# --- LRU capacity eviction (lru_cache.go:94-99 / tiered_cache.go) --------------
+
+LRU_CAPACITY = 100
+
+
+def q_lru_eviction(spark, sf_dir):
+    """Capacity eviction as recency rank: traces ranked by last_seen
+    (max end) desc; rows past capacity evict ⇒ NotSampled
+    (processor.go:626-658)."""
+    from pyspark.sql import Window
+
+    agg = trace_agg(spark, sf_dir)
+    w = Window.orderBy(F.desc("max_end"), F.desc("trace_key"))
+    r = agg.withColumn("rn", F.row_number().over(w))
+    return r.select(
+        "trace_key",
+        F.col("max_end").alias("last_seen"),
+        F.when(F.col("rn") > LRU_CAPACITY, "NotSampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_LRU_EVICTION = f"""
+  SELECT trace_key, max_end AS last_seen,
+         CASE WHEN row_number() OVER (ORDER BY max_end DESC, trace_key DESC) > {LRU_CAPACITY}
+              THEN 'NotSampled' ELSE 'Pending' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+# --- decision grouping (policy.go:33-67, decision_group_test.go) ----------------
+
+
+def q_decision_groups(spark, sf_dir):
+    """record_decision_from regex grouping: ordered first-match-wins
+    regex mapping of the decision_from dimension, unmatched passthrough."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = (
+        F.when(F.col("source").rlike("^src[0-4]$"), "low-sources")
+        .when(F.col("source").rlike("^src([5-9]|1[0-9])$"), "mid-sources")
+        .otherwise(F.col("source"))
+    )
+    return (
+        docs.select(grouped.alias("decision_from"))
+        .groupBy("decision_from")
+        .agg(F.count(F.lit(1)).alias("decisions"))
+    )
+
+
+SQL_DECISION_GROUPS = """
+  SELECT CASE WHEN regexp_matches(source, '^src[0-4]$') THEN 'low-sources'
+              WHEN regexp_matches(source, '^src([5-9]|1[0-9])$') THEN 'mid-sources'
+              ELSE source END AS decision_from,
+         CAST(count(*) AS BIGINT) AS decisions
+  FROM documents GROUP BY 1
+"""
+
+
+def sampling_queries() -> dict[str, tuple]:
+    """name → (spark_builder, oracle_sql_or_None)."""
+    return {
+        "span_count_policy": (q_span_count, SQL_SPAN_COUNT),
+        "latency_policy": (q_latency, SQL_LATENCY),
+        "status_code_policy": (q_status_code, SQL_STATUS_CODE),
+        "threshold_policy_otep235": (q_threshold, SQL_THRESHOLD),
+        "probabilistic_policy_fnv": (q_probabilistic, sql_probabilistic()),
+        "decider_first_decisive": (q_decider_chain, sql_decider_chain()),
+        "metadata_merge": (q_metadata_merge, SQL_METADATA_MERGE),
+        "lru_eviction_rank": (q_lru_eviction, SQL_LRU_EVICTION),
+        "decision_groups_regex": (q_decision_groups, SQL_DECISION_GROUPS),
+    }
