@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps every implemented operator from SURVEY.md §2 (sampling decision
+engine) plus the training-data ops (dedup / similarity / text /
+multimodal) to a (Spark query, DuckDB oracle) pair. The heavy lifting
+lives in ``atlassian_sampling_processor_spark.queries`` and
+``...functions.dataops``; this module is a thin adapter.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full ordered-policy decision chain
+    (status_code → span_count → latency → probabilistic/FNV) with
+    first-decisive-wins over the sf0.001 events corpus."""
+    from atlassian_sampling_processor_spark.queries import q_decider_chain
+
+    return q_decider_chain(spark, "/root/testdata/sf0.001")
+
+
+def _all() -> dict[str, tuple]:
+    from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
+    from atlassian_sampling_processor_spark.queries import sampling_queries
+
+    out = dict(sampling_queries())
+    out.update(dataops_queries())
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: builder for name, (builder, _sql) in _all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_b, sql) in _all().items() if sql is not None}

@@ -1,0 +1,543 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force cosine top-k, hyperplane-LSH buckets), and text
+analysis (quality scoring, language-ID heuristic, token counting,
+fingerprinting). Each ships as a (Spark builder, DuckDB oracle SQL)
+pair; the shared primitive hash is md5-substring → int so both engines
+agree bit-for-bit.
+
+Scale notes: the pairwise joins (Jaccard, SimHash) are candidate-pruned
+by shingle/band/bucket keys — the LSH variants are the 100 TB path, the
+pairwise ones are the small-scale oracles they're validated against.
+Token counting uses the two-phase salted aggregation from skew.py over
+the Zipf-skewed source key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# md5-substring hash: identical in Spark (conv) and DuckDB (hex cast).
+def h32(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def docs(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def emb(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup: hash-groupBy, keep lowest doc_id per content hash
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") >= 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+  SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups,
+         min(doc_id) AS keep_doc_id
+  FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup: word 3-gram shingles → shingle-join pairs
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
+    # with an empty array so semantics match DuckDB generate_series.
+    seq = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", "w", F.explode(seq).alias("i"))
+        .select("doc_id", F.array_join(F.slice("w", F.col("i"), 3), " ").alias("shingle"))
+        .distinct()
+    )
+
+
+SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+    FROM documents
+  )
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        j.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+  WITH sh AS ({SHINGLES_SQL}),
+  sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_sh FROM sh GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         round(common / (na + nb - common), 6) AS jaccard
+  FROM pairs
+  JOIN (SELECT doc_id doc_a, n_sh na FROM sizes) USING (doc_a)
+  JOIN (SELECT doc_id doc_b, n_sh nb FROM sizes) USING (doc_b)
+  WHERE common / (na + nb - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH: k=8 signature, 4 bands × 2 rows → banded candidates
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 2
+
+
+def _minhash(spark, sf_dir) -> DataFrame:
+    sh = _shingles(docs(spark, sf_dir))
+    mins = [
+        F.min(h32(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        "min({h}) AS m{j}".format(h=h32_sql(f"'{j}|' || shingle"), j=j) for j in range(MINHASH_K)
+    )
+    return f"SELECT doc_id, {mins} FROM ({SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Banded LSH candidate pairs + minhash-estimated similarity: docs
+    sharing any band (2 consecutive minhashes) are candidates; est_sim =
+    fraction of equal signature slots."""
+    sig = _minhash(spark, sf_dir).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(",", *[F.col(f"m{bi * 2 + r}") for r in range(2)]).alias("key"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(MINHASH_K)])
+    est = sum(
+        [F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(MINHASH_K)],
+        F.lit(0),
+    ) / float(MINHASH_K)
+    return cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_sim")
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, CAST(m{bi * 2} AS VARCHAR) || ',' || CAST(m{bi * 2 + 1} AS VARCHAR) AS key FROM sig"
+        for bi in range(LSH_BANDS)
+    )
+    eq = " + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))
+    return f"""
+      WITH sig AS ({_minhash_sql()}),
+      bands AS ({band_rows}),
+      cand AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      )
+      SELECT doc_a, doc_b, round(({eq}) / {float(MINHASH_K)}, 6) AS est_sim
+      FROM cand
+      JOIN sig a ON a.doc_id = doc_a
+      JOIN sig b ON b.doc_id = doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (16-bit) + hamming near-dup pairs
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+
+
+def _simhash(spark, sf_dir) -> DataFrame:
+    d = docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wh = w.select("doc_id", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = wh.groupBy("doc_id").agg(*bit_sums)
+    sim = sum(
+        [F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)],
+        F.lit(0),
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS))
+    return f"""
+      WITH wh AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      ),
+      agg AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id)
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+    """
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return _simhash(spark, sf_dir)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX."""
+    s = _simhash(spark, sf_dir).cache()
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+      WITH s AS ({_simhash_sql()})
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+# ---------------------------------------------------------------------------
+# 5. brute-force cosine top-k similarity search
+
+TOPK = 5
+N_QUERIES = 10
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    pairs = q.crossJoin(e).filter(F.col("vec_id") != F.col("query_id"))
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_EMBEDDING_COSINE_TOPK = f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+  pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+    FROM q, e WHERE e.vec_id != q.query_id
+  ),
+  ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM pairs
+  )
+  SELECT query_id, neighbor_id, round(cos, 6) AS score, CAST(rk AS BIGINT) AS rk
+  FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. hyperplane-LSH buckets (the ANN scale path: bucket join, not n²)
+
+LSH_PLANES = 4
+EMB_DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    # deterministic pseudo-random hyperplanes, embedded as literals in
+    # both engines
+    return [
+        [(((i * 31 + j * 2654435761) % 1000) / 1000.0 - 0.5) for i in range(EMB_DIM)]
+        for j in range(LSH_PLANES)
+    ]
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = F.lit(0)
+    for j, plane in enumerate(_planes()):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(F.col("v"), p, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    byb = e.select("vec_id", bucket.cast("long").alias("bucket"))
+    return byb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _sql_lsh_buckets() -> str:
+    terms = []
+    for j, plane in enumerate(_planes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END")
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket FROM e)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
+      FROM b GROUP BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# 7-9. text analysis
+
+STOPWORDS = ["the", "a", "data", "table"]
+
+
+def _word_count(col):
+    # pure string math — identical across engines (no regex dialects)
+    return F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1
+
+
+def _occurrences(col, word):
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def q_text_quality(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    wc = _word_count(F.col("text"))
+    stop = sum([_occurrences(F.col("text"), w) for w in STOPWORDS], F.lit(0.0))
+    return d.select(
+        "doc_id",
+        wc.cast("long").alias("word_count"),
+        F.round(F.col("n_chars") / wc, 6).alias("avg_word_len"),
+        F.round(stop / wc, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), wc / F.lit(100.0)) * (F.lit(1.0) - stop / wc), 6
+        ).alias("quality"),
+    )
+
+
+def _occ_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{needle}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def _sql_text_quality() -> str:
+    wc = "length(text) - length(replace(text, ' ', '')) + 1"
+    stop = " + ".join(_occ_sql(w) for w in STOPWORDS)
+    return f"""
+      SELECT doc_id,
+             CAST({wc} AS BIGINT) AS word_count,
+             round(n_chars / ({wc}), 6) AS avg_word_len,
+             round(({stop}) / ({wc}), 6) AS stopword_ratio,
+             round(least(1.0, ({wc}) / 100.0) * (1.0 - ({stop}) / ({wc})), 6) AS quality
+      FROM documents
+    """
+
+
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "zh": ["big", "small"],
+    "de": ["fast", "slow"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/marker-word language-ID heuristic; deterministic argmax
+    with lexicographic tiebreak; reports agreement with the labeled
+    lang column."""
+    d = docs(spark, sf_dir)
+    scores = {
+        lang: sum([_occurrences(F.col("text"), w) for w in words], F.lit(0.0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.lit("unknown")
+    best_score = F.lit(-1.0)
+    for lang in sorted(LANG_MARKERS):  # later entries win only on strictly greater
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return d.select(
+        "doc_id", best.alias("pred_lang"), "lang", (best == F.col("lang")).alias("match")
+    )
+
+
+def _sql_lang_id() -> str:
+    case_best, case_score = "'unknown'", "-1.0"
+    for lang in sorted(LANG_MARKERS):
+        s = " + ".join(_occ_sql(w) for w in LANG_MARKERS[lang])
+        case_best = f"CASE WHEN ({s}) > ({case_score}) THEN '{lang}' ELSE {case_best} END"
+        case_score = f"CASE WHEN ({s}) > ({case_score}) THEN ({s}) ELSE {case_score} END"
+    return f"""
+      SELECT doc_id, {case_best} AS pred_lang, lang,
+             ({case_best}) = lang AS match
+      FROM documents
+    """
+
+
+def q_token_count_by_source(spark, sf_dir):
+    """Whitespace token totals per (Zipf-skewed) source — computed with
+    the explicit two-phase salted aggregation (skew.py)."""
+    from .skew import salted_sum_count
+
+    d = docs(spark, sf_dir).select("source", "doc_id", _word_count(F.col("text")).alias("wc"))
+    out = salted_sum_count(d, "source", F.col("wc"), buckets=16)
+    return out.select("source", F.col("total").cast("long").alias("total_tokens"), F.col("n").alias("n_docs"))
+
+
+SQL_TOKEN_COUNT = """
+  SELECT source,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. document fingerprint: min over character 8-gram hashes (winnowing-lite)
+
+GRAM = 8
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("text") - (GRAM - 1), F.lit(1))))
+    grams = d.select("doc_id", idx.alias("i"), F.col("text")).select(
+        "doc_id", h32(F.substring(F.col("text"), F.col("i").cast("int"), GRAM)).alias("gh")
+    )
+    return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+  SELECT doc_id, min({h32_sql(f'substr(text, i, {GRAM})')}) AS fingerprint
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - {GRAM - 1}, 1))) AS i
+    FROM documents
+  )
+  GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. multimodal metadata (binary payload plumbing; decode is stubbed)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from .multimodal import payload_metadata
+
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
+    )
+    return payload_metadata(d)
+
+
+SQL_MULTIMODAL_META = """
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         sha256(text) AS payload_sha256, 'text/plain' AS mime
+  FROM documents
+"""
+
+
+def dataops_queries() -> dict[str, tuple]:
+    return {
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),
+        "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+        "dedup_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
+        "similarity_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
+        "similarity_lsh_buckets": (q_embedding_lsh_buckets, _sql_lsh_buckets()),
+        "text_quality_score": (q_text_quality, _sql_text_quality()),
+        "lang_id_heuristic": (q_lang_id, _sql_lang_id()),
+        "token_count_by_source": (q_token_count_by_source, SQL_TOKEN_COUNT),
+        "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+        "multimodal_metadata": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    }
