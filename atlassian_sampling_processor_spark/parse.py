@@ -47,48 +47,55 @@ DECODED_FIELDS = [
 ]
 
 
-def _decoded_schema(input_schema: T.StructType) -> T.StructType:
-    fields = list(input_schema.fields)
-    names = {f.name for f in fields}
-    for name, dtype in DECODED_FIELDS:
-        if name not in names:
-            fields.append(T.StructField(name, dtype, True))
-    return T.StructType(fields)
+_DECODE_STRUCT = T.StructType([T.StructField(n, t, True) for n, t in DECODED_FIELDS])
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        vals = pdf["tokens"].to_numpy()
-        n = len(vals)
-        if n == 0:
-            continue
-        flat = np.concatenate([np.asarray(v, dtype=np.int32) for v in vals])
-        lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
-        head_idx = offsets[:-1, None] + np.arange(codec.HEADER_LEN)[None, :]
-        headers = flat[head_idx]
-        d = codec.decode_headers(headers)
+def _decode_tokens_np(vals: np.ndarray) -> dict[str, np.ndarray]:
+    n = len(vals)
+    flat = np.concatenate([np.asarray(v, dtype=np.int32) for v in vals])
+    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    head_idx = offsets[:-1, None] + np.arange(codec.HEADER_LEN)[None, :]
+    return codec.decode_headers(flat[head_idx])
 
-        out = pdf.copy()
-        for name in ("trace_hi", "trace_lo", "span_id", "parent_span_id", "start_ts", "end_ts"):
-            out[name] = d[name].view(np.int64)
-        out["status_id"] = d["status_code"]
-        out["threshold_len"] = d["threshold_len"]
-        out["threshold_value"] = d["threshold_value"].view(np.int64)
-        out["name_id"] = d["name_id"]
-        out["is_decision_span"] = d["is_decision_span"].astype(bool)
-        out["decision_value"] = d["decision_value"].astype(bool)
-        out["flushes"] = d["flushes"]
-        out["event_name_id"] = d["event_name_id"]
-        out["attr_code"] = d["attr_code"]
-        out["event_attr_code"] = d["event_attr_code"]
-        yield out
+
+def _decode_to_frame(tokens: pd.Series) -> pd.DataFrame:
+    if len(tokens) == 0:
+        return pd.DataFrame({n: pd.Series(dtype="object") for n, _ in DECODED_FIELDS})
+    d = _decode_tokens_np(tokens.to_numpy())
+    out = {}
+    for name in ("trace_hi", "trace_lo", "span_id", "parent_span_id", "start_ts", "end_ts"):
+        out[name] = d[name].view(np.int64)
+    out["status_id"] = d["status_code"]
+    out["threshold_len"] = d["threshold_len"]
+    out["threshold_value"] = d["threshold_value"].view(np.int64)
+    out["name_id"] = d["name_id"]
+    out["is_decision_span"] = d["is_decision_span"].astype(bool)
+    out["decision_value"] = d["decision_value"].astype(bool)
+    out["flushes"] = d["flushes"]
+    out["event_name_id"] = d["event_name_id"]
+    out["attr_code"] = d["attr_code"]
+    out["event_attr_code"] = d["event_attr_code"]
+    return pd.DataFrame(out)
 
 
 def parse_sequences(df: DataFrame) -> DataFrame:
-    """tokens → numeric span fields (vectorized, narrow)."""
-    return df.mapInPandas(_decode_batches, schema=_decoded_schema(df.schema))
+    """tokens → numeric span fields (vectorized, narrow map).
+
+    A struct-returning pandas UDF: only the tokens column crosses the
+    Arrow boundary into Python; the decoded numerics come back as one
+    struct. The (large) tokens payload is never copied back out through
+    Python — it stays JVM-side for the passthrough columns."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(returnType=_DECODE_STRUCT)
+    def _decode(tokens: pd.Series) -> pd.DataFrame:
+        return _decode_to_frame(tokens)
+
+    clash = [n for n, _ in DECODED_FIELDS if n in df.columns]
+    dec = df.drop(*clash).withColumn("_dec", _decode(F.col("tokens")))
+    return dec.select("*", *[F.col(f"_dec.{n}").alias(n) for n, _ in DECODED_FIELDS]).drop("_dec")
 
 
 def _attr_map(code_col: str):

@@ -25,15 +25,18 @@ Scale notes (100 TB / 1000 executors):
 * Capacity eviction ranks per tier; the ranked input is bounded by
   (capacity + batch trace count) per tier, so the single-partition
   window is bounded, not O(corpus). For very large capacities, swap to
-  a two-level rank (per-partition top-K then global) — noted inline.
-* Sinks and state are written once per batch, partitioned by batch id.
+  a two-level rank (per-partition top-K then global).
+* Micro-batch job count is deliberately minimal: ONE partitioned write
+  for all three sinks with Observation-counted rows (no re-reads), one
+  write per state table, and a driver-side metrics build from the
+  observed counters — fixed overhead per batch stays ~6 Spark actions.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import codec
@@ -56,6 +59,12 @@ PASSTHROUGH = ["doc_id", "tokens", "n_tok", "source", "batch_idx", "flushes"]
 
 PENDING_SPANS_SCHEMA = (
     "doc_id string, tokens array<int>, n_tok int, source string, batch_idx int, flushes int"
+)
+
+ROUTED_SCHEMA = (
+    PENDING_SPANS_SCHEMA
+    + ", policy string, reason string, flushes_out int, partition_id int,"
+    " released_batch int, sink string, batch int"
 )
 
 EVICTION_POLICY = "__evicted__"
@@ -100,31 +109,39 @@ class SamplingPipeline:
 
     # ------------------------------------------------------------------ sinks
 
-    def _sink_path(self, sink: str, batch: int) -> str:
-        return f"{self.out}/{sink}/batch={batch}"
-
-    def _write_sink(self, sink: str, batch: int, df: DataFrame) -> int:
-        df = df.withColumn("partition_id", F.spark_partition_id()).withColumn(
-            "released_batch", F.lit(batch)
+    def _write_routed(self, batch: int, df: DataFrame) -> dict:
+        """Single write for all sinks, partitioned by sink name;
+        row counts come from an Observation on the same action."""
+        obs = Observation(f"routed_{batch}")
+        df = (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .withColumn("released_batch", F.lit(batch))
+            .observe(
+                obs,
+                F.sum((F.col("sink") == "keep").cast("long")).alias("kept"),
+                F.sum((F.col("sink") == "drop").cast("long")).alias("dropped"),
+                F.sum((F.col("sink") == "low_priority").cast("long")).alias("low"),
+            )
         )
-        df.write.mode("overwrite").parquet(self._sink_path(sink, batch))
-        return self.spark.read.parquet(self._sink_path(sink, batch)).count()
+        df.write.mode("overwrite").partitionBy("sink").parquet(
+            f"{self.out}/routed/batch={batch}"
+        )
+        got = obs.get
+        return {k: int(got[k] or 0) for k in ("kept", "dropped", "low")}
 
     def read_sink(self, sink: str) -> DataFrame:
         import glob
 
-        paths = sorted(glob.glob(f"{self.out}/{sink}/batch=*"))
+        base = f"{self.out}/routed"
+        paths = sorted(glob.glob(f"{base}/batch=*/sink={sink}"))
         if not paths:
-            raise FileNotFoundError(f"no {sink} output yet")
-        df = self.spark.read.parquet(paths[0])
-        for p in paths[1:]:
-            df = df.unionByName(self.spark.read.parquet(p), allowMissingColumns=True)
-        return df
+            return _empty(self.spark, ROUTED_SCHEMA).drop("sink")
+        df = self.spark.read.option("basePath", base).parquet(*paths)
+        return df.drop("sink")
 
     # ------------------------------------------------------------- batch step
 
     def process_batch(self, raw_batch: DataFrame, b: int) -> BatchResult:
-        spark = self.spark
         prev = self.store.last_committed_batch()
         pend_state = self.store.read("pending_state", prev, PENDING_STATE_SCHEMA)
         pend_spans = self.store.read("pending_spans", prev, PENDING_SPANS_SCHEMA)
@@ -135,7 +152,14 @@ class SamplingPipeline:
         if "batch_idx" not in raw_batch.columns:
             raw_batch = raw_batch.withColumn("batch_idx", F.lit(b))
 
-        spans = enrich_spans(parse_sequences(raw_batch)).persist()
+        # one explicit shuffle of the span data by trace key (the
+        # reference's shardIDForTrace co-location, util.go:42-49); every
+        # downstream groupBy/join on doc_id reuses this partitioning
+        spans = (
+            enrich_spans(parse_sequences(raw_batch))
+            .repartition(self.engine.shards, "doc_id")
+            .persist()
+        )
         reg = spans.filter(~F.col("is_decision_span"))
         dec_spans = spans.filter(F.col("is_decision_span"))
 
@@ -153,12 +177,12 @@ class SamplingPipeline:
                 F.lit(DECISION_SPAN_POLICY).alias("policy"),
                 F.lit(b).alias("decided_batch"),
             )
+            .persist()
         )
-        dec_state_mid = dec_state.unionByName(new_dec_from_spans).persist()
+        dec_state_mid = dec_state.unionByName(new_dec_from_spans)
 
         # -- 2. early decision check (processor.go:408-430): one join serves
-        # both the pre-shard check and the per-shard recheck (batch-land is
-        # single-pass).
+        # both the pre-shard check and the per-shard recheck.
         reg2 = reg.join(
             dec_state_mid.select("doc_id", F.col("decision").alias("prior_decision")),
             "doc_id",
@@ -168,14 +192,10 @@ class SamplingPipeline:
         late_dropped = reg2.filter(F.col("prior_decision") == D.NOT_SAMPLED)
         to_eval = reg2.filter(F.col("prior_decision").isNull()).drop("prior_decision").persist()
 
-        # decision-span releases: newly Sampled via decision span frees the
-        # cached payload (processor.go:466-476)
         decspan_sampled = new_dec_from_spans.filter(F.col("decision") == D.SAMPLED).select("doc_id")
-        decspan_release = pend_spans.join(decspan_sampled, "doc_id", "left_semi")
         decspan_notsampled = new_dec_from_spans.filter(
             F.col("decision") == D.NOT_SAMPLED
         ).select("doc_id")
-        decspan_dropped = pend_spans.join(decspan_notsampled, "doc_id", "left_semi")
 
         # -- 3. evaluate remaining traces
         agg = aggregate_batch(to_eval, self.policies, b)
@@ -190,51 +210,11 @@ class SamplingPipeline:
         pending = decided.filter(F.col("decision").isin(D.PENDING, D.LOW_PRIORITY))
 
         sampled_keys = sampled.select("doc_id", "policy")
-        not_sampled_keys = not_sampled.select("doc_id", "policy", "trace_hi", "trace_lo")
+        not_sampled_keys = not_sampled.select("doc_id", "policy")
 
-        # -- 4. keep sink (sendSampledTraceData strips the flush attr,
-        # processor.go:501-511 → flushes_out null on normal releases)
-        keep_parts = [
-            late_sampled.select(*PASSTHROUGH).withColumns(
-                {"reason": F.lit("late_sampled"), "policy": F.lit(None).cast("string")}
-            ),
-            decspan_release.select(*PASSTHROUGH).withColumns(
-                {"reason": F.lit("decision_span_release"), "policy": F.lit(DECISION_SPAN_POLICY)}
-            ),
-            to_eval.join(sampled_keys, "doc_id", "inner").select(*PASSTHROUGH, "policy").withColumn(
-                "reason", F.lit("sampled")
-            ),
-            pend_spans.join(sampled_keys, "doc_id", "inner").select(*PASSTHROUGH, "policy").withColumn(
-                "reason", F.lit("sampled_cached")
-            ),
-        ]
-        # not-sampled placeholder rows (processor.go:517-533): one synthetic
-        # span named TRACE NOT SAMPLED for policies configured to emit it
-        emit_names = [n for n, v in self._emit_placeholder.items() if v]
-        if emit_names:
-            ph = not_sampled.filter(F.col("policy").isin(emit_names)).select(
-                "doc_id",
-                placeholder_tokens(b).alias("tokens"),
-                F.lit(codec.HEADER_LEN).alias("n_tok"),
-                F.lit("not-sampled-dummy-service").alias("source"),
-                F.lit(b).alias("batch_idx"),
-                F.lit(None).cast("int").alias("flushes"),
-                F.col("policy"),
-                F.lit("not_sampled_placeholder").alias("reason"),
-            )
-            keep_parts.append(ph)
-
-        keep = keep_parts[0]
-        for part in keep_parts[1:]:
-            keep = keep.unionByName(part)
-        keep = keep.withColumn(
-            "flushes_out", F.lit(None).cast("int")
-        )  # flush attr stripped on normal sends
-
-        # -- 5. pending-state rewrite
-        touched = agg.select("doc_id").unionByName(
-            new_dec_from_spans.select("doc_id")
-        )
+        # -- 4. pending-state rewrite (puts before eviction,
+        # tiered_cache.go:41-49)
+        touched = agg.select("doc_id").unionByName(new_dec_from_spans.select("doc_id"))
         untouched = pend_state.join(touched, "doc_id", "left_anti")
         updated = pending.select(
             "doc_id",
@@ -251,62 +231,143 @@ class SamplingPipeline:
         )
         pend_mid = untouched.unionByName(updated)
 
-        # -- 6. capacity eviction per tier (lru_cache.go:94-99 +
-        # tiered_cache.go Put routing): rank by recency, newest first; rows
-        # past capacity evict and become NotSampled decisions
-        # (processor.go:626-658). Bounded input: ≤ capacity + batch traces.
+        # -- 5. capacity eviction per tier (lru_cache.go:94-99): rank by
+        # recency; rows past capacity evict ⇒ NotSampled (processor.go:626-658).
+        # The rank is a per-tier sort, so it only runs when a tier can
+        # actually overflow (exact tier counts via a cheap agg over the
+        # bounded pending set) — the common under-capacity batch skips it.
         tier = F.when(F.col("priority") == D.PRIORITY_LOW, F.lit("secondary")).otherwise(
             F.lit("primary")
         )
-        w = Window.partitionBy("tier").orderBy(
-            F.desc("last_seen_batch"), F.desc("arrival_batch"), F.desc("doc_id")
-        )
-        ranked = pend_mid.withColumn("tier", tier).withColumn("rn", F.row_number().over(w))
-        cap = F.when(
-            F.col("tier") == "secondary", F.lit(self.engine.secondary_cache_size)
-        ).otherwise(F.lit(self.engine.primary_capacity()))
-        evicted = ranked.filter(F.col("rn") > cap).persist()
-        pend_new = ranked.filter(F.col("rn") <= cap).drop("tier", "rn")
+        prim_cap = self.engine.primary_capacity()
+        sec_cap = self.engine.secondary_cache_size
+        tier_counts = {
+            r["tier"]: r["n"]
+            for r in pend_mid.select(tier.alias("tier"))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if tier_counts.get("primary", 0) <= prim_cap and tier_counts.get("secondary", 0) <= sec_cap:
+            evicted = _empty(self.spark, "doc_id string, tier string")
+            pend_new = pend_mid
+            n_evicted = 0
+        else:
+            w = Window.partitionBy("tier").orderBy(
+                F.desc("last_seen_batch"), F.desc("arrival_batch"), F.desc("doc_id")
+            )
+            ranked = pend_mid.withColumn("tier", tier).withColumn("rn", F.row_number().over(w))
+            cap = F.when(F.col("tier") == "secondary", F.lit(sec_cap)).otherwise(F.lit(prim_cap))
+            evicted = ranked.filter(F.col("rn") > cap).select("doc_id", "tier").persist()
+            pend_new = ranked.filter(F.col("rn") <= cap).drop("tier", "rn")
+            n_evicted = evicted.count()
 
-        # -- 7. pending payload rewrite (only read on release/flush,
-        # DESIGN.md:100-108)
-        new_pending_payload = to_eval.join(pending.select("doc_id"), "doc_id", "left_semi").select(
+        # -- 6. route everything to one partitioned sink write. Current-batch
+        # spans get their trace's decision in ONE join (the shuffle reuses
+        # the doc_id partitioning); cached payload resolves against a small
+        # per-trace outcome table in one more join.
+        def tag(df, sink, reason, policy_col=None):
+            pol = policy_col if policy_col is not None else F.lit(None).cast("string")
+            return df.select(
+                *PASSTHROUGH,
+                pol.alias("policy"),
+                F.lit(reason).alias("reason"),
+                F.lit(None).cast("int").alias("flushes_out"),
+                F.lit(sink).alias("sink"),
+            )
+
+        span_route = to_eval.join(
+            decided.select("doc_id", F.col("decision").alias("_d"), F.col("policy").alias("_p")),
+            "doc_id",
+            "left",
+        )
+        new_pending_payload = span_route.filter(F.col("_d").isin(D.PENDING, D.LOW_PRIORITY)).select(
             *PASSTHROUGH
         )
-        pend_spans_new = (
-            pend_spans.unionByName(new_pending_payload)
-            .join(pend_new.select("doc_id"), "doc_id", "left_semi")
+        all_payload = pend_spans.unionByName(new_pending_payload)
+
+        # disjoint per-trace outcomes for the cached payload: a sampled /
+        # not-sampled doc has payload only in old pend_spans; an evicted doc
+        # may have payload in either
+        def outcome(keys, sink, reason, policy_col=None):
+            pol = policy_col if policy_col is not None else F.lit(None).cast("string")
+            return keys.select(
+                "doc_id", pol.alias("_op"), F.lit(sink).alias("_sink"), F.lit(reason).alias("_reason")
+            )
+
+        outcomes = (
+            outcome(sampled_keys, "keep", "sampled_cached", F.col("policy"))
+            .unionByName(outcome(not_sampled_keys, "drop", "not_sampled_cached", F.col("policy")))
+            .unionByName(outcome(decspan_sampled, "keep", "decision_span_release", F.lit(DECISION_SPAN_POLICY)))
+            .unionByName(outcome(decspan_notsampled, "drop", "decision_span_drop", F.lit(DECISION_SPAN_POLICY)))
+            .unionByName(
+                outcome(
+                    evicted.filter(F.col("tier") == "primary"), "drop", "evicted_primary",
+                    F.lit(EVICTION_POLICY),
+                )
+            )
+            .unionByName(
+                outcome(
+                    evicted.filter(F.col("tier") == "secondary"), "low_priority",
+                    "evicted_secondary", F.lit(EVICTION_POLICY),
+                )
+            )
+        )
+        cached_routed = all_payload.join(outcomes, "doc_id", "inner").select(
+            *PASSTHROUGH,
+            F.col("_op").alias("policy"),
+            F.col("_reason").alias("reason"),
+            F.lit(None).cast("int").alias("flushes_out"),
+            F.col("_sink").alias("sink"),
         )
 
-        # evicted payload → low-priority sink (secondary tier) / drop sink
-        evicted_payload = pend_spans.unionByName(new_pending_payload).join(
-            evicted.select("doc_id", "tier"), "doc_id", "inner"
-        )
-        low_sink = evicted_payload.filter(F.col("tier") == "secondary").select(
-            *PASSTHROUGH
-        ).withColumns({"reason": F.lit("evicted_secondary"), "policy": F.lit(EVICTION_POLICY)})
-        drop_parts = [
-            late_dropped.select(*PASSTHROUGH).withColumns(
-                {"reason": F.lit("late_not_sampled"), "policy": F.lit(None).cast("string")}
-            ),
-            decspan_dropped.select(*PASSTHROUGH).withColumns(
-                {"reason": F.lit("decision_span_drop"), "policy": F.lit(DECISION_SPAN_POLICY)}
-            ),
-            to_eval.join(not_sampled_keys.select("doc_id", "policy"), "doc_id", "inner")
-            .select(*PASSTHROUGH, "policy")
-            .withColumn("reason", F.lit("not_sampled")),
-            pend_spans.join(not_sampled_keys.select("doc_id", "policy"), "doc_id", "inner")
-            .select(*PASSTHROUGH, "policy")
-            .withColumn("reason", F.lit("not_sampled_cached")),
-            evicted_payload.filter(F.col("tier") == "primary")
-            .select(*PASSTHROUGH)
-            .withColumns({"reason": F.lit("evicted_primary"), "policy": F.lit(EVICTION_POLICY)}),
+        routed_parts = [
+            tag(late_sampled, "keep", "late_sampled"),
+            tag(span_route.filter(F.col("_d") == D.SAMPLED), "keep", "sampled", F.col("_p")),
+            tag(late_dropped, "drop", "late_not_sampled"),
+            tag(span_route.filter(F.col("_d") == D.NOT_SAMPLED), "drop", "not_sampled", F.col("_p")),
+            cached_routed,
         ]
-        drop = drop_parts[0]
-        for part in drop_parts[1:]:
-            drop = drop.unionByName(part)
+        # not-sampled placeholder rows (processor.go:517-533)
+        emit_names = [n for n, v in self._emit_placeholder.items() if v]
+        if emit_names:
+            ph = not_sampled.filter(F.col("policy").isin(emit_names)).select(
+                "doc_id",
+                placeholder_tokens(b).alias("tokens"),
+                F.lit(codec.HEADER_LEN).alias("n_tok"),
+                F.lit("not-sampled-dummy-service").alias("source"),
+                F.lit(b).alias("batch_idx"),
+                F.lit(None).cast("int").alias("flushes"),
+                F.col("policy"),
+                F.lit("not_sampled_placeholder").alias("reason"),
+                F.lit(None).cast("int").alias("flushes_out"),
+                F.lit("keep").alias("sink"),
+            )
+            routed_parts.append(ph)
 
-        # -- 8. decision-state rewrite: prior ∪ new, then per-kind capacity
+        routed = routed_parts[0]
+        for part in routed_parts[1:]:
+            routed = routed.unionByName(part)
+        sink_counts = self._write_routed(b, routed)
+
+        # -- 7. decision/trace counters: one small collect over the
+        # persisted per-trace decisions (feeds policy_decisions telemetry,
+        # decider.go:60-74)
+        dec_counts = {
+            (r["policy"], r["decision"]): r["n"]
+            for r in decided.filter(F.col("decision").isin(*D.DECISIVE))
+            .groupBy("policy", "decision")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_sampled = sum(n for (p, d), n in dec_counts.items() if d == D.SAMPLED)
+        n_not_sampled = sum(n for (p, d), n in dec_counts.items() if d == D.NOT_SAMPLED)
+
+        # -- 8. state writes (pending payload only read on release/flush,
+        # DESIGN.md:100-108)
+        # payload stays iff its trace had no terminal outcome this batch
+        pend_spans_new = all_payload.join(outcomes.select("doc_id"), "doc_id", "left_anti")
+
         new_decisions = (
             sampled.select(
                 "doc_id", F.lit(D.SAMPLED).alias("decision"), "policy", F.lit(b).alias("decided_batch")
@@ -326,71 +387,90 @@ class SamplingPipeline:
             .unionByName(new_dec_from_spans)
         )
         dec_mid = dec_state.unionByName(new_decisions)
-        dw = Window.partitionBy("decision").orderBy(F.desc("decided_batch"), F.desc("doc_id"))
-        dcap = F.when(
-            F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
-        ).otherwise(F.lit(self.engine.non_sampled_cache_size))
-        dec_new = (
-            dec_mid.withColumn("drn", F.row_number().over(dw)).filter(F.col("drn") <= dcap).drop("drn")
+
+        # decision-cache capacity (two LRU decision caches,
+        # processor.go:142-148): exact per-kind totals tracked driver-side
+        # in the commit marker; the rank only runs on overflow.
+        ds_counts = {
+            r["decision"]: r["n"]
+            for r in new_dec_from_spans.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        meta = self.store.last_meta()
+        prev_s = meta.get("dec_sampled")
+        prev_ns = meta.get("dec_not_sampled")
+        if prev_s is None or prev_ns is None:  # old checkpoint: count once
+            old = {
+                r["decision"]: r["n"]
+                for r in dec_state.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
+        tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
+        tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
+        if tot_s <= self.engine.sampled_cache_size and tot_ns <= self.engine.non_sampled_cache_size:
+            dec_new = dec_mid
+        else:
+            dw = Window.partitionBy("decision").orderBy(F.desc("decided_batch"), F.desc("doc_id"))
+            dcap = F.when(
+                F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
+            ).otherwise(F.lit(self.engine.non_sampled_cache_size))
+            dec_new = (
+                dec_mid.withColumn("drn", F.row_number().over(dw))
+                .filter(F.col("drn") <= dcap)
+                .drop("drn")
+            )
+            tot_s = min(tot_s, self.engine.sampled_cache_size)
+            tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
+
+        pend_obs = Observation(f"pend_{b}")
+        self.store.write(
+            "pending_state",
+            b,
+            pend_new.observe(pend_obs, F.count(F.lit(1)).alias("n")),
         )
-
-        # -- 9. write sinks + state, then commit atomically
-        kept_n = self._write_sink("keep", b, keep)
-        dropped_n = self._write_sink("drop", b, drop)
-        low_n = self._write_sink("low_priority", b, low_sink)
-
-        res = BatchResult(batch_idx=b, kept=kept_n, dropped=dropped_n, low_evicted=low_n)
-        res.sampled_traces = sampled.count()
-        res.not_sampled_traces = not_sampled.count()
-        res.evicted_traces = evicted.count()
-
-        metrics = self._metrics_rows(b, decided, res)
-        self.store.write("pending_state", b, pend_new)
         self.store.write("pending_spans", b, pend_spans_new)
         self.store.write("decision_state", b, dec_new)
-        self.store.write("metrics", b, metrics)
-        res.pending_traces = self.store.read("pending_state", b).count()
-        self.store.commit(b)
 
-        for df in (spans, dec_state_mid, to_eval, decided, evicted):
+        res = BatchResult(
+            batch_idx=b,
+            kept=sink_counts["kept"],
+            dropped=sink_counts["dropped"],
+            low_evicted=sink_counts["low"],
+            sampled_traces=n_sampled,
+            not_sampled_traces=n_not_sampled,
+            evicted_traces=n_evicted,
+            pending_traces=int(pend_obs.get["n"] or 0),
+        )
+        self.store.write("metrics", b, self._metrics_rows(b, dec_counts, res))
+        self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
+
+        for df in (spans, to_eval, decided, evicted, new_dec_from_spans):
             df.unpersist()
         return res
 
     # -------------------------------------------------------------- telemetry
 
-    def _metrics_rows(self, b: int, decided: DataFrame, res: BatchResult) -> DataFrame:
+    def _metrics_rows(self, b: int, dec_counts: dict, res: BatchResult) -> DataFrame:
         """Per-batch metrics table mirroring the reference's counters
-        (documentation.md:9-79; emission sites per BASELINE.md)."""
-        pol_dec = (
-            decided.filter(F.col("decision").isin(*D.DECISIVE))
-            .groupBy("policy", "decision")
-            .agg(F.count(F.lit(1)).alias("value"))
-            .select(
-                F.lit(b).alias("batch_idx"),
-                F.lit("policy_decisions").alias("metric"),
-                F.map_from_arrays(
-                    F.array(F.lit("policy"), F.lit("decision")),
-                    F.array(
-                        F.col("policy"),
-                        F.element_at(
-                            F.array(*[F.lit(D.DECISION_NAMES[i]) for i in range(5)]),
-                            F.col("decision") + 1,
-                        ),
-                    ),
-                ).alias("labels"),
-                F.col("value").cast("long"),
+        (documentation.md:9-79; emission sites per BASELINE.md). Built
+        driver-side from already-collected counters — zero extra jobs."""
+        rows = [
+            (
+                b,
+                "policy_decisions",
+                {"policy": str(p), "decision": D.DECISION_NAMES[d]},
+                int(n),
             )
-        )
-        scalar = self.spark.createDataFrame(
-            [
-                (b, "traces_sampled", {}, res.sampled_traces),
-                (b, "traces_not_sampled", {}, res.evicted_traces),  # evictions only (processor.go:647)
-                (b, "kept_rows", {}, res.kept),
-                (b, "dropped_rows", {}, res.dropped),
-            ],
-            schema=METRICS_SCHEMA,
-        )
-        return pol_dec.unionByName(scalar)
+            for (p, d), n in sorted(dec_counts.items(), key=str)
+        ]
+        rows += [
+            (b, "traces_sampled", {}, res.sampled_traces),
+            # evictions only (processor.go:647)
+            (b, "traces_not_sampled", {}, res.evicted_traces),
+            (b, "kept_rows", {}, res.kept),
+            (b, "dropped_rows", {}, res.dropped),
+            (b, "primary_cache_size", {}, res.pending_traces),
+        ]
+        return self.spark.createDataFrame(rows, schema=METRICS_SCHEMA)
 
     # ------------------------------------------------------------------- run
 
@@ -423,35 +503,31 @@ class SamplingPipeline:
         flushed = (
             pend_spans.join(pend_state.select("doc_id", "arrival_batch"), "doc_id", "left")
             .orderBy("arrival_batch", "doc_id")
-            .select(*PASSTHROUGH)
-            .withColumns(
-                {
-                    "reason": F.lit("flush"),
-                    "policy": F.lit(None).cast("string"),
-                    # atlassiansampling.flushes incremented (processor.go:591-603)
-                    "flushes_out": (F.coalesce(F.col("flushes"), F.lit(0)) + 1).cast("int"),
-                }
+            .select(
+                *PASSTHROUGH,
+                F.lit(None).cast("string").alias("policy"),
+                F.lit("flush").alias("reason"),
+                # atlassiansampling.flushes incremented (processor.go:591-603)
+                (F.coalesce(F.col("flushes"), F.lit(0)) + 1).cast("int").alias("flushes_out"),
+                F.lit("keep").alias("sink"),
             )
         )
-        kept = self._write_sink("keep", b, flushed)
+        counts = self._write_routed(b, flushed)
         dec_export = dec_state.select(
             "doc_id",
             (F.col("decision") == D.SAMPLED).alias("decision_value"),
             "policy",
             "decided_batch",
         )
-        dec_export.write.mode("overwrite").parquet(self._sink_path("decision_export", b))
+        dec_export.write.mode("overwrite").parquet(f"{self.out}/decision_export/batch={b}")
         n_dec = dec_export.count()
 
-        empty_p = _empty(self.spark, PENDING_STATE_SCHEMA)
-        empty_s = _empty(self.spark, PENDING_SPANS_SCHEMA)
-        empty_d = _empty(self.spark, DECISION_STATE_SCHEMA)
-        self.store.write("pending_state", b, empty_p)
-        self.store.write("pending_spans", b, empty_s)
-        self.store.write("decision_state", b, empty_d)
+        self.store.write("pending_state", b, _empty(self.spark, PENDING_STATE_SCHEMA))
+        self.store.write("pending_spans", b, _empty(self.spark, PENDING_SPANS_SCHEMA))
+        self.store.write("decision_state", b, _empty(self.spark, DECISION_STATE_SCHEMA))
         self.store.write("metrics", b, _empty(self.spark, METRICS_SCHEMA))
         self.store.commit(b)
-        return {"flushed_rows": kept, "decision_rows": n_dec}
+        return {"flushed_rows": counts["kept"], "decision_rows": n_dec}
 
 
 def placeholder_tokens(batch_idx: int):
@@ -460,10 +536,10 @@ def placeholder_tokens(batch_idx: int):
     stand-ins: span_id = xxhash64(doc_id, batch), timestamps = batch-based
     (now−1s, now) per processor.go:523-531.
     """
-    hi, lo = F.col("trace_hi"), F.col("trace_lo")
-    span_id = F.xxhash64(F.col("doc_id"), F.lit("placeholder"), F.lit(batch_idx))
     from .datagen import BASE_NS
 
+    hi, lo = F.col("trace_hi"), F.col("trace_lo")
+    span_id = F.xxhash64(F.col("doc_id"), F.lit("placeholder"), F.lit(batch_idx))
     start = BASE_NS + batch_idx * 1_000_000_000
     end = start + 1_000_000_000
 

@@ -76,10 +76,19 @@ class StateStore:
         except FileNotFoundError:
             return None
 
-    def commit(self, batch: int) -> None:
+    def last_meta(self) -> dict:
+        """Driver-side state-size counters stored with the commit marker
+        (used to skip capacity-eviction ranking when it cannot fire)."""
+        try:
+            with open(self._marker()) as f:
+                return json.load(f).get("meta", {})
+        except FileNotFoundError:
+            return {}
+
+    def commit(self, batch: int, meta: dict | None = None) -> None:
         tmp = self._marker() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch": batch}, f)
+            json.dump({"batch": batch, "meta": meta or {}}, f)
         os.replace(tmp, self._marker())  # atomic
 
     # -- table IO -------------------------------------------------------------

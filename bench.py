@@ -1,0 +1,177 @@
+"""Benchmark harness.
+
+Runs (a) the end-to-end sampling pipeline (parse → decide → route →
+aggregate) over a generated tokenized-sequence corpus sized to the SF,
+and (b) every driver query at $SPARK_GRAFT_SF_DIR, on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "sequences/sec end-to-end", "value": N, "unit": "seq/sec",
+   "queries": {...per-query sec...}, "sf": 0.1, ...}
+
+Scaling-efficiency evidence (north rule: ≥0.8 from N→4N): run
+``python bench.py --scaling`` — it re-execs the pipeline benchmark in
+subprocesses at 8 and 32 cores on the SAME corpus and reports
+efficiency = (T8/T32)/4 (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+# pipeline corpus: ~6M spans/sf unit → sf0.1 ≈ 150k traces ≈ 600k spans
+N_TRACES = max(2000, int(1_500_000 * SF))
+N_BATCHES = 2
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def corpus_path() -> str:
+    path = f"/tmp/asp_bench_corpus/sf{SF}/seq.parquet"
+    if not os.path.exists(path):
+        from atlassian_sampling_processor_spark import datagen
+
+        log(f"generating corpus: {N_TRACES} traces → {path}")
+        datagen.generate_sequences_parquet(
+            path, n_traces=N_TRACES, seed=42, n_batches=N_BATCHES, decision_span_frac=0.005
+        )
+    return path
+
+
+BENCH_POLICIES = [
+    {"name": "errors", "type": "status_code", "status_code": {"status_codes": ["ERROR"]}},
+    {"name": "big", "type": "span_count", "span_count": {"min_spans": 12}},
+    {"name": "slow", "type": "latency", "latency": {"threshold_ms": 30000}},
+    {
+        "name": "roots",
+        "type": "root_spans",
+        "root_spans": {
+            "sub_policy": {
+                "name": "p0",
+                "type": "probabilistic",
+                "probabilistic": {"sampling_percentage": 0},
+            }
+        },
+    },
+    {"name": "otep", "type": "threshold"},
+    {"name": "pct10", "type": "probabilistic", "probabilistic": {"sampling_percentage": 10}},
+]
+
+
+def run_pipeline_bench(spark, corpus: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from atlassian_sampling_processor_spark.config import EngineConfig, parse_policies
+    from atlassian_sampling_processor_spark.pipeline import SamplingPipeline
+
+    work = f"/tmp/asp_bench_run/{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    seqs = spark.read.parquet(corpus)
+    n_rows = seqs.count()
+    pipe = SamplingPipeline(
+        spark,
+        parse_policies(BENCH_POLICIES),
+        EngineConfig(
+            primary_cache_size=max(20_000, N_TRACES // 4),
+            secondary_cache_size=max(2_000, N_TRACES // 40),
+            sampled_cache_size=10 * N_TRACES,
+            non_sampled_cache_size=10 * N_TRACES,
+            shards=CPUS,
+        ),
+        checkpoint_dir=f"{work}/ckpt",
+        output_dir=f"{work}/out",
+    )
+    t0 = time.perf_counter()
+    results = pipe.run(seqs, n_batches=N_BATCHES)
+    wall = time.perf_counter() - t0
+    kept = sum(r.kept for r in results)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "seq_per_sec": round(n_rows / wall, 1),
+        "kept": kept,
+    }
+
+
+def run_query_bench(spark) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, SF_DIR).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+            log(f"  {name}: {out[name]}s ({n} rows)")
+        except Exception as ex:
+            log(f"  {name}: FAILED {ex}")
+            out[name] = None
+    return out
+
+
+def scaling_bench(corpus: str) -> dict:
+    """Same pipeline benchmark at 8 and 32 cores (subprocesses, fresh
+    JVMs) → throughput at both + efficiency = (T8/T32)/4."""
+    walls = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), ASP_BENCH_MODE="pipeline_only")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        walls[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+        log(f"scaling@{cores}: {walls[cores]}")
+    t8, t32 = walls[8]["pipeline"]["wall_sec"], walls[32]["pipeline"]["wall_sec"]
+    return {
+        "throughput_8": walls[8]["pipeline"]["seq_per_sec"],
+        "throughput_32": walls[32]["pipeline"]["seq_per_sec"],
+        "efficiency_8_to_32": round((t8 / t32) / 4.0, 3),
+    }
+
+
+def main():
+    from atlassian_sampling_processor_spark.session import get_spark
+
+    scaling_mode = "--scaling" in sys.argv
+    pipeline_only = os.environ.get("ASP_BENCH_MODE") == "pipeline_only"
+    corpus = corpus_path()
+
+    if scaling_mode:
+        res = scaling_bench(corpus)
+        print(json.dumps({"metric": "scaling efficiency 8→32 cores", "value": res["efficiency_8_to_32"], "unit": "ratio", "sf": SF, **res}))
+        return
+
+    spark = get_spark(app_name="asp-bench", cores=CPUS, shuffle_partitions=CPUS)
+    pipe_res = run_pipeline_bench(spark, corpus)
+    out = {
+        "metric": "sequences/sec end-to-end (parse→decide→route→aggregate)",
+        "value": pipe_res["seq_per_sec"],
+        "unit": "seq/sec",
+        "sf": SF,
+        "cpus": CPUS,
+        "pipeline": pipe_res,
+    }
+    if not pipeline_only:
+        qt = run_query_bench(spark)
+        out["queries"] = {**{k: v for k, v in qt.items()}, "pipeline_e2e": pipe_res["wall_sec"]}
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
