@@ -26,8 +26,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-# pipeline corpus: ~6M spans/sf unit → sf0.1 ≈ 150k traces ≈ 600k spans
-N_TRACES = max(2000, int(1_500_000 * SF))
+# pipeline corpus: ~6M spans/sf unit → sf0.1 ≈ 150k traces ≈ 600k spans.
+# ASP_BENCH_TRACES overrides (the scaling run uses a larger, CPU-bound
+# corpus so parallel efficiency isn't swamped by per-batch fixed cost).
+N_TRACES = int(os.environ.get("ASP_BENCH_TRACES", max(2000, int(1_500_000 * SF))))
 N_BATCHES = 2
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -38,7 +40,7 @@ def log(*a):
 
 
 def corpus_path() -> str:
-    path = f"/tmp/asp_bench_corpus/sf{SF}/seq.parquet"
+    path = f"/tmp/asp_bench_corpus/sf{SF}_t{N_TRACES}/seq.parquet"
     if not os.path.exists(path):
         from atlassian_sampling_processor_spark import datagen
 

@@ -1,0 +1,138 @@
+"""Config-loader golden tests mirroring the reference's config parsing
+(config_test.go:25-184, testdata/atlassian_sampling_test_cfg.yml): one
+ordered policy list exercising all 10 policy types + engine capacities,
+plus the validation failures the reference rejects at startup."""
+
+import pytest
+
+from atlassian_sampling_processor_spark import decision as D
+from atlassian_sampling_processor_spark.config import load_config, parse_policies
+from atlassian_sampling_processor_spark.policies import (
+    AndPolicy,
+    Downgrader,
+    Latency,
+    OTTLCondition,
+    PolicyError,
+    Probabilistic,
+    RemoteProbabilistic,
+    RootSpans,
+    SpanCount,
+    StatusCode,
+    Threshold,
+)
+
+FULL_CFG = """
+shards: 5
+max_traces: 1000
+secondary_cache_size: 100
+sampled_cache_size: 1000
+non_sampled_cache_size: 10000
+compression_enabled: true
+sampling_policies:
+  - name: policy-1
+    type: probabilistic
+    probabilistic: { sampling_percentage: 0.1, hash_salt: custom-salt }
+  - name: policy-2
+    type: and
+    record_decision_from: service.name
+    decision_groupers:
+      - { regex: '^(conf|confluence)-.*', group: confluence-monolith }
+    and:
+      and_sub_policy:
+        - { name: sub-1, type: probabilistic, probabilistic: { sampling_percentage: 100 } }
+        - { name: sub-2, type: probabilistic, probabilistic: { sampling_percentage: 0 } }
+  - name: policy-3
+    type: span_count
+    span_count: { min_spans: 0 }
+  - name: policy-4
+    type: root_spans
+    root_spans:
+      sub_policy: { name: sub, type: probabilistic, probabilistic: { sampling_percentage: 0 } }
+  - name: policy-5
+    type: latency
+    latency: { threshold_ms: 5000 }
+  - name: policy-6
+    type: status_code
+    status_code: { status_codes: [ERROR, UNSET] }
+  - name: policy-7
+    type: ottl_condition
+    ottl_condition:
+      error_mode: ignore
+      span:
+        - 'attributes["test_attr_key_1"] == "test_attr_val_1"'
+        - 'attributes["test_attr_key_2"] != "test_attr_val_1"'
+      spanevent:
+        - 'name != "test_span_event_name"'
+        - 'attributes["test_event_attr_key_2"] != "test_event_attr_val_1"'
+  - name: policy-8
+    type: threshold
+  - name: policy-9
+    type: remote_probabilistic
+    remote_probabilistic: { default_rate: 0.01 }
+  - name: policy-10
+    type: downgrader
+    emit_single_span_for_not_sampled: true
+    downgrader:
+      downgrade_to: NotSampled
+      sub_policy: { name: sub, type: span_count, span_count: { min_spans: 1000 } }
+"""
+
+
+def test_full_config_parses(tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text(FULL_CFG)
+    eng, pols = load_config(str(p))
+    assert eng.shards == 5
+    assert eng.primary_cache_size == 1000
+    assert eng.secondary_cache_size == 100
+    assert eng.sampled_cache_size == 1000
+    assert eng.non_sampled_cache_size == 10000
+
+    types = [type(x) for x in pols]
+    assert types == [
+        Probabilistic, AndPolicy, SpanCount, RootSpans, Latency,
+        StatusCode, OTTLCondition, Threshold, RemoteProbabilistic, Downgrader,
+    ]
+    p1 = pols[0]
+    assert p1.sampling_percentage == 0.1 and p1.hash_salt == "custom-salt"
+    p2 = pols[1]
+    assert p2.record_decision_from == "service.name"
+    assert p2.decision_groupers == [("^(conf|confluence)-.*", "confluence-monolith")]
+    assert [s.sampling_percentage for s in p2.sub_policies] == [100, 0]
+    assert pols[2].min_spans == 0
+    assert isinstance(pols[3].sub_policy, Probabilistic)
+    assert pols[4].threshold_ms == 5000
+    assert pols[5].status_codes == ["ERROR", "UNSET"]
+    assert len(pols[6].span_conditions) == 2 and len(pols[6].span_event_conditions) == 2
+    assert pols[8].default_rate == 0.01
+    assert pols[9].downgrade_to == "NotSampled"
+    assert pols[9].emit_single_span_for_not_sampled is True
+    assert pols[9]._to == D.NOT_SAMPLED
+
+
+def test_duplicate_policy_names_rejected():
+    with pytest.raises(PolicyError, match="duplicate"):
+        parse_policies(
+            [
+                {"name": "p", "type": "threshold"},
+                {"name": "p", "type": "span_count", "span_count": {"min_spans": 1}},
+            ]
+        )
+
+
+def test_unknown_policy_type_rejected():
+    with pytest.raises(PolicyError, match="unknown"):
+        parse_policies([{"name": "p", "type": "bogus"}])
+
+
+def test_default_salts_applied():
+    pols = parse_policies(
+        [
+            {"name": "a", "type": "probabilistic", "probabilistic": {"sampling_percentage": 5}},
+            {"name": "b", "type": "remote_probabilistic", "remote_probabilistic": {"default_rate": 1}},
+        ]
+    )
+    # both default to "default-hash-seed" (probabilistic.go:20-22,
+    # remote_probabilistic.go:23)
+    assert pols[0].hash_salt == "default-hash-seed"
+    assert pols[1].hash_salt == "default-hash-seed"
