@@ -197,14 +197,20 @@ class OTTLCondition(Policy):
     def __post_init__(self):
         if not self.span_conditions and not self.span_event_conditions:
             raise PolicyError("at least one OTTL condition must be specified")
-        self._span_cols = [_ottl_span_condition(c) for c in self.span_conditions]
-        self._event_cols = [_ottl_event_condition(c) for c in self.span_event_conditions]
+        # validate syntax at build time (the reference fails to start on a
+        # bad condition); Column construction is deferred — it needs an
+        # active SparkContext, config parsing must not.
+        for c in self.span_conditions + self.span_event_conditions:
+            if not _OTTL_RE.match(c):
+                raise PolicyError(f"unsupported OTTL condition: {c!r}")
 
     def _flag(self) -> str:
         return f"ottl_match_{re.sub(r'[^A-Za-z0-9_]', '_', self.name)}"
 
     def span_agg_exprs(self) -> list[Column]:
-        conds = self._span_cols + self._event_cols
+        conds = [_ottl_span_condition(c) for c in self.span_conditions] + [
+            _ottl_event_condition(c) for c in self.span_event_conditions
+        ]
         any_cond = reduce(lambda a, b: a | b, conds)
         return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]
 
