@@ -82,6 +82,24 @@ def make_decision(merged: DataFrame, policies: list[Policy]) -> DataFrame:
     )
 
 
+def decision_from_column(policies: list[Policy]) -> Column:
+    """The ``decision_from`` telemetry dimension (decider.go:60-74):
+    for Sampled/NotSampled decisions, the winning policy's
+    ``record_decision_from`` resource attribute (we carry service.name
+    as first_source), mapped through the policy's ordered regex groupers
+    — first match wins, unmatched passes through (policy.go:33-67)."""
+    out = F.lit("")
+    for p in policies:
+        if not p.record_decision_from:
+            continue
+        src = F.col(AGG.FIRST_SOURCE) if p.record_decision_from == "service.name" else F.lit("")
+        grouped = src
+        for regex, group in reversed(p.decision_groupers):
+            grouped = F.when(src.rlike(regex), F.lit(group)).otherwise(grouped)
+        out = F.when(F.col("policy") == p.name, grouped).otherwise(out)
+    return F.when(F.col("decision").isin(D.SAMPLED, D.NOT_SAMPLED), out).otherwise(F.lit(""))
+
+
 def post_decision_state(df: DataFrame, policies: list[Policy]) -> DataFrame:
     """Post-decision metadata updates (processor.go:356-404):
 

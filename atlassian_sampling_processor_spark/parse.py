@@ -117,11 +117,28 @@ def _idx_lookup(values: list[str], idx_col, default=None):
     return F.when(idx_col >= 0, got).otherwise(F.lit(default))
 
 
+def enrich_core(df: DataFrame) -> DataFrame:
+    """Hot-path derivations only — integer/boolean exprs, no string or
+    map materialization (those cost real CPU per span and are needed only
+    by OTTL policies and human-facing surfaces).
+    """
+    return (
+        # root detection per root_spans.go:86-88: empty parent OR parent ==
+        # right-8-bytes of the trace id
+        df.withColumn(
+            "is_root",
+            (F.col("parent_span_id") == 0) | (F.col("parent_span_id") == F.col("trace_lo")),
+        ).withColumn("flushes", F.when(F.col("flushes") >= 0, F.col("flushes")))
+    )
+
+
 def enrich_spans(df: DataFrame) -> DataFrame:
-    """Materialize string/map span fields from numeric codes — Catalyst only."""
+    """Full span surface: core + string/map fields from numeric codes —
+    still pure Catalyst expressions."""
     thr_hex = F.lower(F.lpad(F.hex(F.col("threshold_value")), 14, "0"))
     return (
-        df.withColumn("status_code", _idx_lookup(codec.STATUS_CODES, F.col("status_id")))
+        enrich_core(df)
+        .withColumn("status_code", _idx_lookup(codec.STATUS_CODES, F.col("status_id")))
         .withColumn("name", _idx_lookup(codec.NAMES, F.col("name_id")))
         .withColumn(
             "sampling_tail_threshold",
@@ -136,13 +153,6 @@ def enrich_spans(df: DataFrame) -> DataFrame:
             "event_attrs",
             F.when(F.col("event_attr_code") >= 0, _attr_map("event_attr_code")),
         )
-        # root detection per root_spans.go:86-88: empty parent OR parent ==
-        # right-8-bytes of the trace id
-        .withColumn(
-            "is_root",
-            (F.col("parent_span_id") == 0) | (F.col("parent_span_id") == F.col("trace_lo")),
-        )
-        .withColumn("flushes", F.when(F.col("flushes") >= 0, F.col("flushes")))
     )
 
 

@@ -44,7 +44,7 @@ from . import decision as D
 from .aggregate import aggregate_batch, merge_with_pending, with_hash_columns
 from .config import EngineConfig
 from .decider import make_decision, post_decision_state
-from .parse import enrich_spans, parse_sequences
+from .parse import enrich_core, enrich_spans, parse_sequences
 from .policies import Policy
 from .state import (
     DECISION_STATE_SCHEMA,
@@ -107,6 +107,19 @@ class SamplingPipeline:
             p.name: p.emit_single_span_for_not_sampled for p in policies
         }
 
+    def _needs_span_strings(self) -> bool:
+        from .policies import OTTLCondition
+
+        def walk(p):
+            if isinstance(p, OTTLCondition):
+                return True
+            subs = getattr(p, "sub_policies", None) or (
+                [p.sub_policy] if getattr(p, "sub_policy", None) else []
+            )
+            return any(walk(s) for s in subs)
+
+        return any(walk(p) for p in self.policies)
+
     # ------------------------------------------------------------------ sinks
 
     def _write_routed(self, batch: int, df: DataFrame) -> dict:
@@ -154,9 +167,13 @@ class SamplingPipeline:
 
         # one explicit shuffle of the span data by trace key (the
         # reference's shardIDForTrace co-location, util.go:42-49); every
-        # downstream groupBy/join on doc_id reuses this partitioning
+        # downstream groupBy/join on doc_id reuses this partitioning.
+        # String/map enrichment (attrs, names) is only materialized when a
+        # configured policy actually reads it (OTTL) — the numeric core
+        # carries everything else.
+        enrich = enrich_spans if self._needs_span_strings() else enrich_core
         spans = (
-            enrich_spans(parse_sequences(raw_batch))
+            enrich(parse_sequences(raw_batch))
             .repartition(self.engine.shards, "doc_id")
             .persist()
         )
@@ -351,17 +368,26 @@ class SamplingPipeline:
         sink_counts = self._write_routed(b, routed)
 
         # -- 7. decision/trace counters: one small collect over the
-        # persisted per-trace decisions (feeds policy_decisions telemetry,
-        # decider.go:60-74)
+        # persisted per-trace decisions (feeds policy_decisions telemetry
+        # with the decision_from grouping dimension, decider.go:60-74)
+        from .decider import decision_from_column
+
         dec_counts = {
-            (r["policy"], r["decision"]): r["n"]
+            (r["policy"], r["decision"], r["decision_from"]): r["n"]
             for r in decided.filter(F.col("decision").isin(*D.DECISIVE))
-            .groupBy("policy", "decision")
+            .withColumn("decision_from", decision_from_column(self.policies))
+            .groupBy("policy", "decision", "decision_from")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        n_sampled = sum(n for (p, d), n in dec_counts.items() if d == D.SAMPLED)
-        n_not_sampled = sum(n for (p, d), n in dec_counts.items() if d == D.NOT_SAMPLED)
+        n_sampled = sum(n for (p, d, g), n in dec_counts.items() if d == D.SAMPLED)
+        n_not_sampled = sum(n for (p, d, g), n in dec_counts.items() if d == D.NOT_SAMPLED)
+        # cache_reads hit/miss (lru_cache.go:49-58): a batch trace probing
+        # the pending cache hits iff cached metadata existed
+        cache_stats = decided.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cached_span_count").isNotNull().cast("long")).alias("hits"),
+        ).collect()[0]
 
         # -- 8. state writes (pending payload only read on release/flush,
         # DESIGN.md:100-108)
@@ -440,7 +466,11 @@ class SamplingPipeline:
             evicted_traces=n_evicted,
             pending_traces=int(pend_obs.get["n"] or 0),
         )
-        self.store.write("metrics", b, self._metrics_rows(b, dec_counts, res))
+        hits = int(cache_stats["hits"] or 0)
+        misses = int(cache_stats["n"] or 0) - hits
+        self.store.write(
+            "metrics", b, self._metrics_rows(b, dec_counts, res, hits=hits, misses=misses)
+        )
         self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
 
         for df in (spans, to_eval, decided, evicted, new_dec_from_spans):
@@ -449,7 +479,9 @@ class SamplingPipeline:
 
     # -------------------------------------------------------------- telemetry
 
-    def _metrics_rows(self, b: int, dec_counts: dict, res: BatchResult) -> DataFrame:
+    def _metrics_rows(
+        self, b: int, dec_counts: dict, res: BatchResult, hits: int = 0, misses: int = 0
+    ) -> DataFrame:
         """Per-batch metrics table mirroring the reference's counters
         (documentation.md:9-79; emission sites per BASELINE.md). Built
         driver-side from already-collected counters — zero extra jobs."""
@@ -457,15 +489,22 @@ class SamplingPipeline:
             (
                 b,
                 "policy_decisions",
-                {"policy": str(p), "decision": D.DECISION_NAMES[d]},
+                {
+                    "policy": str(p),
+                    "decision": D.DECISION_NAMES[d],
+                    "decision_from": str(g or ""),
+                },
                 int(n),
             )
-            for (p, d), n in sorted(dec_counts.items(), key=str)
+            for (p, d, g), n in sorted(dec_counts.items(), key=str)
         ]
         rows += [
             (b, "traces_sampled", {}, res.sampled_traces),
             # evictions only (processor.go:647)
             (b, "traces_not_sampled", {}, res.evicted_traces),
+            (b, "policy_decisions", {"policy": EVICTION_POLICY, "decision": "NotSampled"}, res.evicted_traces),
+            (b, "cache_reads", {"cache": "trace_data", "hit": "true"}, hits),
+            (b, "cache_reads", {"cache": "trace_data", "hit": "false"}, misses),
             (b, "kept_rows", {}, res.kept),
             (b, "dropped_rows", {}, res.dropped),
             (b, "primary_cache_size", {}, res.pending_traces),

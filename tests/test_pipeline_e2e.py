@@ -386,3 +386,42 @@ def test_shard_invariance(tmp_path):
         )
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert outs[2] == outs[8]
+
+
+# --- telemetry: decision_from grouping + cache_reads (decider.go:60-74,
+# policy.go:33-67, lru_cache.go:49-58) -----------------------------------------
+
+
+def test_metrics_decision_from_and_cache_reads(spark, tmp_dirs):
+    pols = [
+        {
+            "name": "all",
+            "type": "span_count",
+            "span_count": {"min_spans": 2},
+            "record_decision_from": "service.name",
+            "decision_groupers": [
+                {"regex": "^(conf|confluence)-.*", "group": "confluence-monolith"}
+            ],
+        }
+    ]
+    pipe = make_pipe(spark, pols, tmp_dirs)
+    t = trace_id(70)
+    # source_id=2 → codec.SOURCES[2] == 'conf-editor' → grouped
+    run_batches(
+        pipe,
+        spark,
+        [
+            dict(doc_id=t, span_id=1, source_id=2, batch_idx=0),  # pending (miss)
+            dict(doc_id=t, span_id=2, source_id=2, batch_idx=1),  # sampled (hit)
+        ],
+    )
+    m1 = pipe.store.read("metrics", 1).collect()
+    pol_rows = [r for r in m1 if r.metric == "policy_decisions" and r.labels.get("policy") == "all"]
+    assert len(pol_rows) == 1
+    assert pol_rows[0].labels["decision"] == "Sampled"
+    assert pol_rows[0].labels["decision_from"] == "confluence-monolith"
+    reads = {r.labels["hit"]: r.value for r in m1 if r.metric == "cache_reads"}
+    assert reads == {"true": 1, "false": 0}
+    m0 = pipe.store.read("metrics", 0).collect()
+    reads0 = {r.labels["hit"]: r.value for r in m0 if r.metric == "cache_reads"}
+    assert reads0 == {"true": 0, "false": 1}
