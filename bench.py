@@ -123,13 +123,39 @@ def run_query_bench(spark) -> dict[str, float]:
     return out
 
 
+def calibrate_machine(procs: int, seconds: float = 6.0) -> float:
+    """Raw parallel CPU capacity at `procs` processes (numpy matmul
+    ops/sec). The sandbox VM is host-oversubscribed — its deliverable
+    speedup from N→4N processes is well below 4×, so pipeline scaling is
+    reported both absolute and relative to this measured ceiling."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(_):
+        a = np.random.rand(400, 400)
+        t_end = time.time() + seconds
+        n = 0
+        while time.time() < t_end:
+            a @ a
+            n += 1
+        return n
+
+    with mp.Pool(procs) as p:
+        total = sum(p.map(burn, range(procs)))
+    return total / seconds
+
+
 def scaling_bench(corpus: str) -> dict:
-    """Same pipeline benchmark at 8 and 32 cores (subprocesses, fresh
-    JVMs) → throughput at both + efficiency = (T8/T32)/4."""
-    walls = {}
-    for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), ASP_BENCH_MODE="pipeline_only")
+    """Same pipeline benchmark at N and 4N cores (subprocesses, fresh
+    JVMs) → throughput at both, absolute efficiency = (T_N/T_4N)/4, and
+    efficiency relative to the machine's measured raw N→4N speedup."""
+    lo, hi = (int(x) for x in os.environ.get("ASP_SCALING_CORES", "8,32").split(","))
+    walls, cal = {}, {}
+    for cores in (lo, hi):
         subprocess.run(["sync"])  # settle page-cache writeback between runs
+        cal[cores] = calibrate_machine(cores)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), ASP_BENCH_MODE="pipeline_only")
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -138,12 +164,18 @@ def scaling_bench(corpus: str) -> dict:
             check=True,
         )
         walls[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-        log(f"scaling@{cores}: {walls[cores]}")
-    t8, t32 = walls[8]["pipeline"]["wall_sec"], walls[32]["pipeline"]["wall_sec"]
+        log(f"scaling@{cores}: cal={cal[cores]:.0f} ops/s, {walls[cores]}")
+    t_lo, t_hi = walls[lo]["pipeline"]["wall_sec"], walls[hi]["pipeline"]["wall_sec"]
+    speedup = t_lo / t_hi
+    machine_speedup = cal[hi] / cal[lo]
     return {
-        "throughput_8": walls[8]["pipeline"]["seq_per_sec"],
-        "throughput_32": walls[32]["pipeline"]["seq_per_sec"],
-        "efficiency_8_to_32": round((t8 / t32) / 4.0, 3),
+        "cores": [lo, hi],
+        f"throughput_{lo}": walls[lo]["pipeline"]["seq_per_sec"],
+        f"throughput_{hi}": walls[hi]["pipeline"]["seq_per_sec"],
+        "speedup": round(speedup, 3),
+        "machine_raw_speedup": round(machine_speedup, 3),
+        "efficiency_absolute": round(speedup / (hi / lo), 3),
+        "efficiency_vs_machine": round(speedup / max(machine_speedup, 1e-9), 3),
     }
 
 
@@ -156,7 +188,17 @@ def main():
 
     if scaling_mode:
         res = scaling_bench(corpus)
-        print(json.dumps({"metric": "scaling efficiency 8→32 cores", "value": res["efficiency_8_to_32"], "unit": "ratio", "sf": SF, **res}))
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling efficiency {res['cores'][0]}→{res['cores'][1]} cores",
+                    "value": res["efficiency_absolute"],
+                    "unit": "ratio",
+                    "sf": SF,
+                    **res,
+                }
+            )
+        )
         return
 
     spark = get_spark(
