@@ -123,6 +123,18 @@ def run_query_bench(spark) -> dict[str, float]:
     return out
 
 
+def _cal_burn(seconds: float) -> int:
+    import numpy as np
+
+    a = np.random.rand(400, 400)
+    t_end = time.time() + seconds
+    n = 0
+    while time.time() < t_end:
+        a @ a
+        n += 1
+    return n
+
+
 def calibrate_machine(procs: int, seconds: float = 6.0) -> float:
     """Raw parallel CPU capacity at `procs` processes (numpy matmul
     ops/sec). The sandbox VM is host-oversubscribed — its deliverable
@@ -130,19 +142,8 @@ def calibrate_machine(procs: int, seconds: float = 6.0) -> float:
     reported both absolute and relative to this measured ceiling."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def burn(_):
-        a = np.random.rand(400, 400)
-        t_end = time.time() + seconds
-        n = 0
-        while time.time() < t_end:
-            a @ a
-            n += 1
-        return n
-
     with mp.Pool(procs) as p:
-        total = sum(p.map(burn, range(procs)))
+        total = sum(p.map(_cal_burn, [seconds] * procs))
     return total / seconds
 
 

@@ -1,0 +1,105 @@
+"""Capture .explain('formatted') for the headline plans → PLANS.md.
+
+Checks the properties that matter at 100 TB: parquet filter/column
+pushdown (PushedFilters / ReadSchema), whole-stage codegen coverage,
+exchange reuse around the doc_id partitioning, and broadcast selection
+for small dimensions.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from atlassian_sampling_processor_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def grab(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def has_codegen(df) -> bool:
+    # codegen markers *(n) only appear in the FINAL adaptive plan, which
+    # AQE materializes after an action
+    df.collect()  # count() builds a different plan; execute THIS one
+    return "*(" in grab(df, "simple")
+
+
+def main():
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    out = ["# PLANS — physical plan review (sf0.01, local[8])\n"]
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "decider_first_decisive",
+        "span_count_policy",
+        "dedup_minhash_lsh",
+        "similarity_cosine_topk",
+        "token_count_by_source",
+    ):
+        df = qs[name](spark, SF)
+        plan = grab(df)
+        out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+        checks = []
+        checks.append(("whole-stage codegen present", has_codegen(df)))
+        checks.append(("columnar parquet scan", "Scan parquet" in plan))
+        if name == "span_count_policy":
+            checks.append(("column pruning (ReadSchema)", "ReadSchema" in plan))
+        out.append("Checks: " + ", ".join(f"{'✅' if ok else '❌'} {c}" for c, ok in checks) + "\n")
+
+    # pipeline fragment: parse → agg → merge → decide
+    from atlassian_sampling_processor_spark import parse
+    from atlassian_sampling_processor_spark.aggregate import (
+        aggregate_batch,
+        merge_with_pending,
+        with_hash_columns,
+    )
+    from atlassian_sampling_processor_spark.config import parse_policies
+    from atlassian_sampling_processor_spark.decider import make_decision
+    from atlassian_sampling_processor_spark.datagen import generate_sequences_parquet
+
+    corpus = "/tmp/asp_plans_corpus/seq.parquet"
+    if not os.path.exists(corpus):
+        generate_sequences_parquet(corpus, n_traces=5000, seed=42)
+    pols = parse_policies(
+        [
+            {"name": "err", "type": "status_code", "status_code": {"status_codes": ["ERROR"]}},
+            {"name": "prob", "type": "probabilistic", "probabilistic": {"sampling_percentage": 10}},
+        ]
+    )
+    raw = spark.read.parquet(corpus).filter("batch_idx = 0")
+    spans = parse.enrich_core(parse.parse_sequences(raw)).repartition(8, "doc_id")
+    merged = with_hash_columns(merge_with_pending(aggregate_batch(spans, pols, 0), None), pols)
+    decided = make_decision(merged, pols)
+    plan = grab(decided)
+    cg = has_codegen(decided)
+    out.append(f"\n## pipeline: parse → per-trace agg → decide\n\n```\n{plan}\n```\n")
+    checks = [
+        ("batch_idx filter pushed to scan", "PushedFilters: [" in plan and "batch_idx" in plan),
+        ("partial aggregation (map-side combine)", "partial_" in plan or "HashAggregate" in plan),
+        ("single doc_id exchange (repartition reused by agg)",
+         plan.count("hashpartitioning(doc_id") == 1),
+        ("Arrow-batched python eval (not row-wise)", "ArrowEvalPython" in plan or "PythonUDF" in plan),
+        ("whole-stage codegen", cg),
+    ]
+    out.append("Checks: " + ", ".join(f"{'✅' if ok else '❌'} {c}" for c, ok in checks) + "\n")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
