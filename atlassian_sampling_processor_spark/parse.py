@@ -80,13 +80,10 @@ def _decode_to_frame(tokens: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def parse_sequences(df: DataFrame) -> DataFrame:
-    """tokens → numeric span fields (vectorized, narrow map).
-
-    A struct-returning pandas UDF: only the tokens column crosses the
-    Arrow boundary into Python; the decoded numerics come back as one
-    struct. The (large) tokens payload is never copied back out through
-    Python — it stays JVM-side for the passthrough columns."""
+def parse_sequences_pandas(df: DataFrame) -> DataFrame:
+    """tokens → numeric span fields via a struct-returning Arrow pandas
+    UDF (numpy decode). Kept as the reference implementation / test
+    oracle for the expression decoder below."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf(returnType=_DECODE_STRUCT)
@@ -96,6 +93,53 @@ def parse_sequences(df: DataFrame) -> DataFrame:
     clash = [n for n, _ in DECODED_FIELDS if n in df.columns]
     dec = df.drop(*clash).withColumn("_dec", _decode(F.col("tokens")))
     return dec.select("*", *[F.col(f"_dec.{n}").alias(n) for n, _ in DECODED_FIELDS]).drop("_dec")
+
+
+def _el(i: int):
+    """Header slot i (0-based) as long — element_at is 1-based."""
+    return F.element_at(F.col("tokens"), i + 1).cast("long")
+
+
+def _u64(start: int):
+    """4×16-bit big-endian chunks → 64-bit value (signed wrap via shift)."""
+    return (
+        F.shiftleft(_el(start), 48)
+        .bitwiseOR(F.shiftleft(_el(start + 1), 32))
+        .bitwiseOR(F.shiftleft(_el(start + 2), 16))
+        .bitwiseOR(_el(start + 3))
+    )
+
+
+def parse_sequences(df: DataFrame) -> DataFrame:
+    """tokens → numeric span fields, decoded entirely with Catalyst
+    expressions (element_at + shifts/ORs over the fixed-width header).
+
+    Zero Python on the hot path: the token payload never leaves the JVM,
+    the whole decode lives inside whole-stage codegen, and the stage is a
+    narrow map. ``parse_sequences_pandas`` is the vectorized-UDF
+    equivalent kept for cross-checking (tests/test_parse.py).
+    """
+    clash = [n for n, _ in DECODED_FIELDS if n in df.columns]
+    out = df.drop(*clash)
+    cols = {
+        "trace_hi": _u64(2),
+        "trace_lo": _u64(6),
+        "span_id": _u64(10),
+        "parent_span_id": _u64(14),
+        "start_ts": _u64(18),
+        "end_ts": _u64(22),
+        "status_id": _el(26).cast("int"),
+        "threshold_len": _el(27).cast("int"),
+        "threshold_value": _u64(28),
+        "name_id": _el(32).cast("int"),
+        "is_decision_span": (_el(33) == 1),
+        "decision_value": (_el(34) == 1),
+        "flushes": _el(35).cast("int"),
+        "event_name_id": _el(36).cast("int"),
+        "attr_code": _el(37).cast("int"),
+        "event_attr_code": _el(39).cast("int"),
+    }
+    return out.withColumns(cols)
 
 
 def _attr_map(code_col: str):

@@ -99,3 +99,16 @@ def test_source_skew_is_zipf():
     counts = np.bincount(cols["source_id"], minlength=len(codec.SOURCES))
     # top source should dominate (Zipf 1.5): > 3× the median source
     assert counts.max() > 3 * np.median(counts)
+
+
+def test_expr_decoder_matches_pandas_decoder(spark, tmp_path):
+    """The Catalyst expression decoder and the Arrow pandas-UDF decoder
+    must agree bit-for-bit on every field."""
+    p = str(tmp_path / "seq2.parquet")
+    datagen.generate_sequences_parquet(p, n_traces=400, seed=11, decision_span_frac=0.05)
+    raw = spark.read.parquet(p)
+    a = parse.parse_sequences(raw)
+    b = parse.parse_sequences_pandas(raw)
+    cols = [n for n, _ in parse.DECODED_FIELDS] + ["doc_id"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
