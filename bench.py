@@ -152,20 +152,29 @@ def scaling_bench(corpus: str) -> dict:
     JVMs) → throughput at both, absolute efficiency = (T_N/T_4N)/4, and
     efficiency relative to the machine's measured raw N→4N speedup."""
     lo, hi = (int(x) for x in os.environ.get("ASP_SCALING_CORES", "8,32").split(","))
+    trials = int(os.environ.get("ASP_SCALING_TRIALS", "2"))
     walls, cal = {}, {}
+    # the sandbox host's CPU delivery fluctuates minute-to-minute; take
+    # best-of-N walls and max-of-N calibrations as the capacity estimate
     for cores in (lo, hi):
-        subprocess.run(["sync"])  # settle page-cache writeback between runs
-        cal[cores] = calibrate_machine(cores)
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), ASP_BENCH_MODE="pipeline_only")
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        walls[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-        log(f"scaling@{cores}: cal={cal[cores]:.0f} ops/s, {walls[cores]}")
+        best = None
+        cal[cores] = 0.0
+        for _ in range(trials):
+            subprocess.run(["sync"])  # settle page-cache writeback between runs
+            cal[cores] = max(cal[cores], calibrate_machine(cores))
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), ASP_BENCH_MODE="pipeline_only")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            got = json.loads(r.stdout.strip().splitlines()[-1])
+            log(f"scaling@{cores} trial: cal={cal[cores]:.0f} ops/s, wall={got['pipeline']['wall_sec']}")
+            if best is None or got["pipeline"]["wall_sec"] < best["pipeline"]["wall_sec"]:
+                best = got
+        walls[cores] = best
     t_lo, t_hi = walls[lo]["pipeline"]["wall_sec"], walls[hi]["pipeline"]["wall_sec"]
     speedup = t_lo / t_hi
     machine_speedup = cal[hi] / cal[lo]
