@@ -401,4 +401,136 @@ def sampling_queries() -> dict[str, tuple]:
         "metadata_merge": (q_metadata_merge, SQL_METADATA_MERGE),
         "lru_eviction_rank": (q_lru_eviction, SQL_LRU_EVICTION),
         "decision_groups_regex": (q_decision_groups, SQL_DECISION_GROUPS),
+        "two_batch_stateful_decisions": (q_two_batch_stateful, SQL_TWO_BATCH_STATEFUL),
     }
+
+
+# --- stateful two-batch engine run (metadata carry + decision cache) ---------
+#
+# The full cross-batch semantics (processor.go:331-406) on the events
+# corpus: batch 0 = even span_ids, batch 1 = odd. A trace decided in
+# batch 0 is short-circuited in batch 1 (decision cache); an undecided
+# trace carries its merged metadata (MergeWith) into batch 1. Policies:
+# [status_code(ERROR), span_count(60)] — deterministic, SQL-checkable.
+
+SC_MIN = 60
+
+
+def q_two_batch_stateful(spark, sf_dir):
+    from .aggregate import aggregate_batch, merge_with_pending
+    from .decider import make_decision
+    from .policies import SpanCount, StatusCode
+
+    pols = [
+        StatusCode(name="errors", status_codes=["ERROR"]),
+        SpanCount(name="big", min_spans=SC_MIN),
+    ]
+    sv = span_view(spark, sf_dir).select(
+        F.col("trace_key").cast("string").alias("doc_id"),
+        F.col("trace_key"),
+        F.col("span_id"),
+        F.lit(0).cast("long").alias("trace_hi"),
+        F.col("trace_key").alias("trace_lo"),
+        (F.col("start_us") * 1000).alias("start_ts"),
+        (F.col("end_us") * 1000).alias("end_ts"),
+        F.when(F.col("status_code") == "ERROR", 2)
+        .when(F.col("status_code") == "OK", 1)
+        .otherwise(0)
+        .alias("status_id"),
+        F.lit(0).alias("threshold_len"),
+        F.lit(0).cast("long").alias("threshold_value"),
+        F.lit(False).alias("is_root"),
+        F.lit("events").alias("source"),
+    )
+    b0 = sv.filter(F.col("span_id") % 2 == 0)
+    b1 = sv.filter(F.col("span_id") % 2 == 1)
+
+    d0 = make_decision(merge_with_pending(aggregate_batch(b0, pols, 0), None), pols)
+    decided0 = d0.filter(F.col("decision").isin(*D.DECISIVE)).select(
+        "doc_id",
+        F.col("decision").alias("d0"),
+        F.col("policy").alias("p0"),
+    )
+    pending0 = d0.filter(~F.col("decision").isin(*D.DECISIVE)).select(
+        "doc_id",
+        F.col("total_span_count").alias("span_count"),
+        F.col("merged_min_start").alias("min_start"),
+        F.col("merged_max_end").alias("max_end"),
+        F.lit(2).alias("priority"),
+        F.lit(None).cast("string").alias("last_low_policy"),
+        F.lit(0).alias("arrival_batch"),
+    )
+
+    # decision-cache short circuit: traces decided in b0 skip evaluation
+    b1_eval = b1.join(decided0.select("doc_id"), "doc_id", "left_anti")
+    d1 = make_decision(merge_with_pending(aggregate_batch(b1_eval, pols, 1), pending0), pols)
+
+    name_of = (
+        lambda c: F.when(c == D.SAMPLED, "Sampled")
+        .when(c == D.NOT_SAMPLED, "NotSampled")
+        .when(c == D.LOW_PRIORITY, "LowPriority")
+        .otherwise("Pending")
+    )
+    out0 = decided0.select(
+        "doc_id", name_of(F.col("d0")).alias("decision"), F.col("p0").alias("policy"),
+        F.lit(0).alias("decided_batch"),
+    )
+    out1 = d1.select(
+        "doc_id",
+        name_of(F.col("decision")).alias("decision"),
+        F.col("policy"),
+        F.when(F.col("decision").isin(*D.DECISIVE), F.lit(1)).alias("decided_batch"),
+    )
+    # traces only seen in batch 0 and still pending after batch 1 window
+    leftover = pending0.join(d1.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("Pending").alias("decision"),
+        F.lit(None).cast("string").alias("policy"), F.lit(None).cast("int").alias("decided_batch"),
+    )
+    return out0.unionByName(out1).unionByName(leftover)
+
+
+SQL_TWO_BATCH_STATEFUL = f"""
+  WITH sv AS (
+    SELECT CAST(trace_key AS VARCHAR) AS doc_id, span_id, status_code
+    FROM ({SPAN_VIEW_SQL})
+  ),
+  a0 AS (
+    SELECT doc_id, CAST(count(*) AS INT) c,
+           max(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) e
+    FROM sv WHERE span_id % 2 = 0 GROUP BY doc_id
+  ),
+  d0 AS (
+    SELECT doc_id,
+           CASE WHEN e = 1 THEN 'Sampled' WHEN c >= {SC_MIN} THEN 'Sampled' ELSE 'Pending' END AS decision,
+           CASE WHEN e = 1 THEN 'errors' WHEN c >= {SC_MIN} THEN 'big' ELSE NULL END AS policy,
+           c
+    FROM a0
+  ),
+  a1 AS (
+    SELECT doc_id, CAST(count(*) AS INT) c1,
+           max(CASE WHEN status_code = 'ERROR' THEN 1 ELSE 0 END) e1
+    FROM sv WHERE span_id % 2 = 1 GROUP BY doc_id
+  ),
+  -- batch-1 evaluation: traces not already decided, merged with pending counts
+  ev1 AS (
+    SELECT a1.doc_id, a1.c1 + COALESCE(p.c, 0) AS total, a1.e1
+    FROM a1
+    LEFT JOIN (SELECT doc_id, c FROM d0 WHERE decision = 'Pending') p USING (doc_id)
+    WHERE a1.doc_id NOT IN (SELECT doc_id FROM d0 WHERE decision != 'Pending')
+  ),
+  d1 AS (
+    SELECT doc_id,
+           CASE WHEN e1 = 1 THEN 'Sampled' WHEN total >= {SC_MIN} THEN 'Sampled' ELSE 'Pending' END AS decision,
+           CASE WHEN e1 = 1 THEN 'errors' WHEN total >= {SC_MIN} THEN 'big' ELSE NULL END AS policy
+    FROM ev1
+  )
+  SELECT doc_id, decision, policy, 0 AS decided_batch FROM d0 WHERE decision != 'Pending'
+  UNION ALL
+  SELECT doc_id, decision, policy,
+         CASE WHEN decision != 'Pending' THEN 1 ELSE NULL END AS decided_batch
+  FROM d1
+  UNION ALL
+  SELECT doc_id, 'Pending', NULL, NULL
+  FROM d0 WHERE decision = 'Pending'
+    AND doc_id NOT IN (SELECT doc_id FROM ev1)
+"""
