@@ -402,6 +402,10 @@ def sampling_queries() -> dict[str, tuple]:
         "lru_eviction_rank": (q_lru_eviction, SQL_LRU_EVICTION),
         "decision_groups_regex": (q_decision_groups, SQL_DECISION_GROUPS),
         "two_batch_stateful_decisions": (q_two_batch_stateful, SQL_TWO_BATCH_STATEFUL),
+        "and_policy": (q_and_policy, SQL_AND_POLICY),
+        "root_spans_policy": (q_root_spans_policy, SQL_ROOT_SPANS),
+        "downgrader_policy": (q_downgrader_policy, SQL_DOWNGRADER),
+        "ottl_condition_policy": (q_ottl_policy, SQL_OTTL),
     }
 
 
@@ -533,4 +537,95 @@ SQL_TWO_BATCH_STATEFUL = f"""
   SELECT doc_id, 'Pending', NULL, NULL
   FROM d0 WHERE decision = 'Pending'
     AND doc_id NOT IN (SELECT doc_id FROM ev1)
+"""
+
+
+# --- composite policies over events (and / root_spans / downgrader / ottl) ---
+
+AND_MIN_SPANS = 30
+
+
+def q_and_policy(spark, sf_dir):
+    """and policy (and.go:24-46): first non-Sampled sub-decision wins;
+    subs = [status_code(ERROR), span_count(30)]."""
+    agg = trace_agg(spark, sf_dir)
+    d1 = F.when(F.col("any_error") == 1, "Sampled").otherwise("Pending")
+    d2 = F.when(F.col("span_count") >= AND_MIN_SPANS, "Sampled").otherwise("Pending")
+    combined = F.when(d1 != "Sampled", d1).otherwise(F.when(d2 != "Sampled", d2).otherwise(F.lit("Sampled")))
+    return agg.select("trace_key", combined.alias("decision"))
+
+
+SQL_AND_POLICY = f"""
+  SELECT trace_key,
+         CASE WHEN any_error != 1 THEN 'Pending'
+              WHEN span_count < {AND_MIN_SPANS} THEN 'Pending'
+              ELSE 'Sampled' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+def q_root_spans_policy(spark, sf_dir):
+    """root_spans policy (root_spans.go:34-89) on a derived root flag
+    (span_id %% 5 != 0): lone root span ⇒ LowPriority; sub-policy
+    probabilistic 0%% ⇒ never Sampled; default Pending (merged priority
+    is always Unspecified in the live flow, processor.go:345)."""
+    sv = span_view(spark, sf_dir).withColumn("is_root", F.col("span_id") % 5 != 0)
+    agg = sv.groupBy("trace_key").agg(
+        F.count(F.lit(1)).alias("n"), F.max("is_root").alias("any_root")
+    )
+    lone_root = (F.col("n") == 1) & F.col("any_root")
+    return agg.select(
+        "trace_key",
+        F.when(lone_root, "LowPriority").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_ROOT_SPANS = f"""
+  WITH sv AS (SELECT trace_key, span_id, span_id % 5 != 0 AS is_root FROM ({SPAN_VIEW_SQL})),
+  agg AS (SELECT trace_key, count(*) n, max(is_root) any_root FROM sv GROUP BY trace_key)
+  SELECT trace_key,
+         CASE WHEN n = 1 AND any_root THEN 'LowPriority' ELSE 'Pending' END AS decision
+  FROM agg
+"""
+
+DOWNGRADE_MIN = 60
+
+
+def q_downgrader_policy(spark, sf_dir):
+    """downgrader (downgrader.go:18-38): sub span_count(60) Sampled ⇒
+    downgraded to NotSampled; else pass-through."""
+    agg = trace_agg(spark, sf_dir)
+    sub = F.when(F.col("span_count") >= DOWNGRADE_MIN, "Sampled").otherwise("Pending")
+    return agg.select(
+        "trace_key",
+        F.when(sub == "Sampled", "NotSampled").otherwise(sub).alias("decision"),
+    )
+
+
+SQL_DOWNGRADER = f"""
+  SELECT trace_key,
+         CASE WHEN span_count >= {DOWNGRADE_MIN} THEN 'NotSampled' ELSE 'Pending' END AS decision
+  FROM ({TRACE_AGG_SQL})
+"""
+
+
+def q_ottl_policy(spark, sf_dir):
+    """ottl_condition (ottl.go:42-120, comparison subset): span condition
+    `attributes["k"] == "42"` over the props JSON attr — any matching
+    span in the batch ⇒ Sampled."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    attr_k = F.get_json_object("props", "$.k")
+    agg = ev.select(F.col("user_id").cast("long").alias("trace_key"), attr_k.alias("k")).groupBy(
+        "trace_key"
+    ).agg(F.max(F.coalesce(F.col("k") == "42", F.lit(False))).alias("hit"))
+    return agg.select(
+        "trace_key", F.when(F.col("hit"), "Sampled").otherwise("Pending").alias("decision")
+    )
+
+
+SQL_OTTL = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN json_extract_string(props, '$.k') = '42' THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
 """
