@@ -302,7 +302,7 @@ def q_embedding_cosine_topk(spark, sf_dir):
         pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOPK)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"), F.col("rk").cast("long").alias("rk"))
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("score"), F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -319,7 +319,7 @@ SQL_EMBEDDING_COSINE_TOPK = f"""
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
     FROM pairs
   )
-  SELECT query_id, neighbor_id, round(cos, 6) AS score, CAST(rk AS BIGINT) AS rk
+  SELECT query_id, neighbor_id, round(cos, 4) AS score, CAST(rk AS BIGINT) AS rk
   FROM ranked WHERE rk <= {TOPK}
 """
 
