@@ -535,9 +535,111 @@ def dataops_queries() -> dict[str, tuple]:
         "dedup_simhash_pairs": (q_simhash_pairs, _sql_simhash_pairs()),
         "similarity_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
         "similarity_lsh_buckets": (q_embedding_lsh_buckets, _sql_lsh_buckets()),
+        "similarity_ivf_topk": (q_similarity_ivf, _sql_similarity_ivf()),
         "text_quality_score": (q_text_quality, _sql_text_quality()),
         "lang_id_heuristic": (q_lang_id, _sql_lang_id()),
         "token_count_by_source": (q_token_count_by_source, SQL_TOKEN_COUNT),
         "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
         "multimodal_metadata": (q_multimodal_meta, SQL_MULTIMODAL_META),
     }
+
+
+# ---------------------------------------------------------------------------
+# 6b. IVF (inverted-file) ANN: coarse quantize to deterministic centroids,
+# then search only the query's probe cells — the classic scale path when
+# hyperplane LSH recall isn't enough. Centroids here are deterministic
+# literals (pseudo-random unit-ish vectors) shared by both engines.
+
+IVF_CELLS = 4
+IVF_PROBES = 2
+
+
+def _centroids() -> list[list[float]]:
+    return [
+        [(((i * 37 + c * 40503) % 1000) / 1000.0 - 0.5) for i in range(EMB_DIM)]
+        for c in range(IVF_CELLS)
+    ]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF top-3: assign every vector to its nearest centroid (by dot
+    product — monotone for ranking against fixed centroids), probe the 2
+    best cells per query (vec_id < 5), brute-force cosine inside them."""
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = _centroids()
+
+    def cell_rank(vcol, rank):
+        # index of the rank-th largest centroid dot product (ties → lower idx)
+        scores = [_dot(vcol, F.array(*[F.lit(x) for x in c])) for c in cents]
+        arr = F.array(*[F.struct(s.alias("s"), F.lit(i).alias("i")) for i, s in enumerate(scores)])
+        ordered = F.reverse(F.array_sort(arr))  # desc by (s, i) → ties pick HIGHER i after reverse…
+        # array_sort on struct sorts asc by s then i; reverse gives desc by
+        # s with ties picking higher i — mirror this exactly in SQL
+        return F.element_at(ordered, rank + 1)["i"]
+
+    assigned = e.select("vec_id", "v", cell_rank(F.col("v"), 0).alias("cell"))
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.array(cell_rank(F.col("v"), 0), cell_rank(F.col("v"), 1)).alias("probe_cells"),
+    )
+    cand = queries.join(
+        assigned, F.array_contains(F.col("probe_cells"), F.col("cell")), "inner"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("score"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _sql_similarity_ivf() -> str:
+    cents = _centroids()
+    lits = ["[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
+    scores = ", ".join(
+        f"list_dot_product(v, {lit}) AS s{i}" for i, lit in enumerate(lits)
+    )
+    # desc by score with ties → higher index (mirrors reverse(array_sort))
+    struct_list = ", ".join(f"{{'s': s{i}, 'i': {i}}}" for i in range(IVF_CELLS))
+    return f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT vec_id, v, {scores} FROM e),
+      ranked AS (
+        SELECT vec_id, v,
+               list_reverse(list_sort([{struct_list}])) AS cells
+        FROM sc
+      ),
+      assigned AS (SELECT vec_id, v, cells[1].i AS cell FROM ranked),
+      queries AS (
+        SELECT vec_id AS query_id, v AS qv, [cells[1].i, cells[2].i] AS probe_cells
+        FROM ranked WHERE vec_id < 5
+      ),
+      cand AS (
+        SELECT q.query_id, q.qv, a.vec_id AS neighbor_id, a.v
+        FROM queries q JOIN assigned a ON list_contains(q.probe_cells, a.cell)
+        WHERE a.vec_id != q.query_id
+      ),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        FROM cand
+      ),
+      rk AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, round(cos, 4) AS score, CAST(rk AS BIGINT) AS rk
+      FROM rk WHERE rk <= 3
+    """
