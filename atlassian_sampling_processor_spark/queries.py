@@ -406,6 +406,7 @@ def sampling_queries() -> dict[str, tuple]:
         "root_spans_policy": (q_root_spans_policy, SQL_ROOT_SPANS),
         "downgrader_policy": (q_downgrader_policy, SQL_DOWNGRADER),
         "ottl_condition_policy": (q_ottl_policy, SQL_OTTL),
+        "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
 
@@ -628,4 +629,28 @@ SQL_OTTL = """
          CASE WHEN max(CASE WHEN json_extract_string(props, '$.k') = '42' THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id
+"""
+
+
+# --- span_count LogSampled services listing (span_count_sampler.go:57-73:
+# distinct service names of the current batch, sorted) --------------------
+
+
+def q_span_count_services(spark, sf_dir):
+    sv = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("trace_key"), F.col("event_type")
+    )
+    agg = sv.groupBy("trace_key").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("services"),
+    )
+    return agg.filter(F.col("span_count") >= MIN_SPANS).select(
+        "trace_key", "span_count", "services"
+    )
+
+
+SQL_SPAN_COUNT_SERVICES = f"""
+  SELECT user_id AS trace_key, CAST(count(*) AS BIGINT) AS span_count,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS services
+  FROM events GROUP BY user_id HAVING count(*) >= {MIN_SPANS}
 """
