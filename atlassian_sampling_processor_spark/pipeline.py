@@ -15,10 +15,10 @@ slice at once:
   state write + atomic commit             resumability (DESIGN.md:148-167)
 
 Scale notes (100 TB / 1000 executors):
-* The only per-span shuffle is the groupBy(doc_id); everything after is
-  O(traces-in-batch). Partial aggregation (map-side combine) happens
-  automatically; spans of one trace land in one shuffle partition —
-  the reference's shard co-location (util.go:42-49) for free.
+* The token payload is never shuffled: the per-trace agg shuffles only
+  pruned numeric columns (partial aggregation map-side), and routing
+  joins broadcast the small per-trace decision tables. The reference's
+  shard co-location (util.go:42-49) is the agg's hash partitioning.
 * State joins are on doc_id; with Iceberg/bucketed state tables they're
   co-partitioned and shuffle-free. Here (plain parquet) AQE picks
   broadcast when state is small.
@@ -165,18 +165,16 @@ class SamplingPipeline:
         if "batch_idx" not in raw_batch.columns:
             raw_batch = raw_batch.withColumn("batch_idx", F.lit(b))
 
-        # one explicit shuffle of the span data by trace key (the
-        # reference's shardIDForTrace co-location, util.go:42-49); every
-        # downstream groupBy/join on doc_id reuses this partitioning.
-        # String/map enrichment (attrs, names) is only materialized when a
-        # configured policy actually reads it (OTTL) — the numeric core
-        # carries everything else.
+        # Parse is a narrow map (expression decoder); the per-trace agg
+        # shuffles only the pruned numeric columns, and the small per-trace
+        # decision/state tables broadcast (64MB threshold) — the token
+        # payload itself is never shuffled. (The reference's
+        # shardIDForTrace co-location, util.go:42-49, maps to the agg's
+        # hash partitioning on doc_id.) String/map enrichment (attrs,
+        # names) is only materialized when a configured policy actually
+        # reads it (OTTL); the numeric core carries everything else.
         enrich = enrich_spans if self._needs_span_strings() else enrich_core
-        spans = (
-            enrich(parse_sequences(raw_batch))
-            .repartition(self.engine.shards, "doc_id")
-            .persist()
-        )
+        spans = enrich(parse_sequences(raw_batch)).persist()
         reg = spans.filter(~F.col("is_decision_span"))
         dec_spans = spans.filter(F.col("is_decision_span"))
 
