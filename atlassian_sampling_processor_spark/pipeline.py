@@ -174,7 +174,10 @@ class SamplingPipeline:
         # names) is only materialized when a configured policy actually
         # reads it (OTTL); the numeric core carries everything else.
         enrich = enrich_spans if self._needs_span_strings() else enrich_core
-        spans = enrich(parse_sequences(raw_batch)).persist()
+        # no persist: every consumer branch column-prunes its own scan of
+        # the (page-cached) batch parquet, which beats materializing the
+        # full token payload into the block store
+        spans = enrich(parse_sequences(raw_batch))
         reg = spans.filter(~F.col("is_decision_span"))
         dec_spans = spans.filter(F.col("is_decision_span"))
 
@@ -205,7 +208,7 @@ class SamplingPipeline:
         )
         late_sampled = reg2.filter(F.col("prior_decision") == D.SAMPLED)
         late_dropped = reg2.filter(F.col("prior_decision") == D.NOT_SAMPLED)
-        to_eval = reg2.filter(F.col("prior_decision").isNull()).drop("prior_decision").persist()
+        to_eval = reg2.filter(F.col("prior_decision").isNull()).drop("prior_decision")
 
         decspan_sampled = new_dec_from_spans.filter(F.col("decision") == D.SAMPLED).select("doc_id")
         decspan_notsampled = new_dec_from_spans.filter(
@@ -471,7 +474,7 @@ class SamplingPipeline:
         )
         self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
 
-        for df in (spans, to_eval, decided, evicted, new_dec_from_spans):
+        for df in (decided, evicted, new_dec_from_spans):
             df.unpersist()
         return res
 
