@@ -7,7 +7,7 @@ matching the reference's fail-to-start behavior.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from .policies import (

@@ -15,7 +15,7 @@ the Zipf-skewed source key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # md5-substring hash: identical in Spark (conv) and DuckDB (hex cast).

@@ -16,7 +16,7 @@ internal/evaluators/root_spans.go:79-89).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+
 
 import numpy as np
 import pandas as pd

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import decision as D
-from .hashing import DEFAULT_HASH_SALT, MASK64, calculate_threshold, fnv1a64, unsigned_lte
+from .hashing import DEFAULT_HASH_SALT, calculate_threshold, fnv1a64, unsigned_lte
 
 # ---------------------------------------------------------------------------
 # shared derivations
