@@ -1,11 +1,13 @@
 """Parse stage: tokenized sequences → span-row DataFrame.
 
-The numeric decode is one Arrow-batched ``mapInPandas`` pass (the only
-sanctioned Python besides the FNV hash — BASELINE.json input_hint). All
+The hot-path decode is pure Catalyst expressions over the fixed-width
+header (``parse_sequences``) — zero Python, fully inside whole-stage
+codegen, column-pruned per consumer. An Arrow-batched struct pandas UDF
+(``parse_sequences_pandas``, numpy decode) is kept as the vectorized-UDF
+reference implementation and cross-checked bit-for-bit in tests. All
 string/map materialization (status names, attr maps, threshold attr
-string) is pure Catalyst expressions in :func:`enrich_spans`, so it stays
-inside whole-stage codegen. The stage is a narrow map — it preserves the
-scan partitioning; no shuffle until the per-trace aggregation.
+string) is separate Catalyst expressions in :func:`enrich_spans`. The
+stage is a narrow map — no shuffle until the per-trace aggregation.
 
 Reference parity: the parsed row carries exactly the fields the
 reference's evaluators read (FIXTURES.md §2; e.g. status
