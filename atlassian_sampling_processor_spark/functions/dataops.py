@@ -536,6 +536,7 @@ def dataops_queries() -> dict[str, tuple]:
         "similarity_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
         "similarity_lsh_buckets": (q_embedding_lsh_buckets, _sql_lsh_buckets()),
         "similarity_ivf_topk": (q_similarity_ivf, _sql_similarity_ivf()),
+        "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
         "text_quality_score": (q_text_quality, _sql_text_quality()),
         "lang_id_heuristic": (q_lang_id, _sql_lang_id()),
         "token_count_by_source": (q_token_count_by_source, SQL_TOKEN_COUNT),
@@ -643,3 +644,39 @@ def _sql_similarity_ivf() -> str:
       SELECT query_id, neighbor_id, round(cos, 4) AS score, CAST(rk AS BIGINT) AS rk
       FROM rk WHERE rk <= 3
     """
+
+
+# ---------------------------------------------------------------------------
+# 12. embedding-cosine near-duplicate detection: vector pairs whose cosine
+# exceeds a threshold (brute pairs as the oracle; bucket with the LSH /
+# IVF cells above to scale)
+
+COS_DUP_THRESHOLD = 0.8
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("score"))
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {COS_DUP_THRESHOLD}
+"""
