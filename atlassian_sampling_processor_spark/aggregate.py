@@ -25,10 +25,22 @@ from .policies.base import AGG, hash_col_name
 MAX_THRESHOLD = (1 << 56) - 1
 
 
-def aggregate_batch(spans: DataFrame, policies: list[Policy], batch_idx: int = 0) -> DataFrame:
+def aggregate_batch(
+    spans: DataFrame, policies: list[Policy], batch_idx: int = 0, salt_buckets: int = 0
+) -> DataFrame:
     """Current-batch spans → one row per trace with all metadata +
     policy-requested aggregates. Policies never see the cached payload
-    (the reference's O(batch) contract, DESIGN.md:100-108)."""
+    (the reference's O(batch) contract, DESIGN.md:100-108).
+
+    ``salt_buckets > 0`` switches to an explicit two-phase salted
+    aggregation on the trace key (north rule): phase 1 aggregates
+    (doc_id, salt) sub-groups — a pathologically hot trace spreads over
+    ``salt_buckets`` reducers — phase 2 re-merges per doc_id. Every
+    aggregate here is decomposable (count→sum, min/max/bool-or→same),
+    so the result is identical to the plain groupBy; Catalyst's
+    map-side partial aggregation already covers moderate skew, this
+    covers the single-trace-floods-a-reducer case.
+    """
     exprs: list[Column] = [
         F.count(F.lit(1)).cast("int").alias(AGG.BATCH_SPAN_COUNT),
         F.min("start_ts").alias("batch_min_start"),
@@ -47,7 +59,29 @@ def aggregate_batch(spans: DataFrame, policies: list[Policy], batch_idx: int = 0
         F.first("trace_lo").alias(AGG.TRACE_LO),
         *collect_span_agg_exprs(policies),
     ]
-    agg = spans.groupBy(AGG.DOC_ID).agg(*exprs)
+    if salt_buckets > 0:
+        phase1 = (
+            spans.withColumn("_salt", F.pmod(F.xxhash64("span_id"), F.lit(salt_buckets)))
+            .groupBy(AGG.DOC_ID, "_salt")
+            .agg(*exprs)
+        )
+        names = [c for c in phase1.columns if c not in (AGG.DOC_ID, "_salt")]
+        remerge = {
+            AGG.BATCH_SPAN_COUNT: F.sum(AGG.BATCH_SPAN_COUNT).cast("int"),
+            "batch_min_start": F.min("batch_min_start"),
+            "batch_max_end": F.max("batch_max_end"),
+            AGG.MIN_THRESHOLD: F.min(AGG.MIN_THRESHOLD),
+            AGG.FIRST_SOURCE: F.min(AGG.FIRST_SOURCE),
+            AGG.TRACE_HI: F.first(AGG.TRACE_HI),
+            AGG.TRACE_LO: F.first(AGG.TRACE_LO),
+        }
+        final = [
+            (remerge[n] if n in remerge else F.max(n)).alias(n)  # bool flags → or
+            for n in names
+        ]
+        agg = phase1.groupBy(AGG.DOC_ID).agg(*final)
+    else:
+        agg = spans.groupBy(AGG.DOC_ID).agg(*exprs)
     return agg.withColumn("batch_idx", F.lit(batch_idx))
 
 

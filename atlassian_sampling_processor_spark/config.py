@@ -39,7 +39,10 @@ class EngineConfig:
     # lets the memory regulator grow it (processor.go:113-114); Spark
     # manages memory, so the regulator is replaced by this static factor
     primary_warm_fraction: float = 1.0
-    compress: bool = True  # parquet codec handles payload compression
+    compress: bool = True
+    # >0: explicit two-phase salted aggregation on the trace key (for
+    # single-trace hot-key skew; Catalyst partial agg covers the rest)
+    salt_buckets: int = 0  # parquet codec handles payload compression
 
     def primary_capacity(self) -> int:
         return max(1, int(self.primary_cache_size * self.primary_warm_fraction))
@@ -146,6 +149,7 @@ def load_config(path_or_dict,
         non_sampled_cache_size=int(cfg.get("non_sampled_cache_size", 10_000)),
         primary_warm_fraction=float(cfg.get("primary_warm_fraction", 1.0)),
         compress=bool(cfg.get("compression_enabled", True)),
+        salt_buckets=int(cfg.get("salt_buckets", 0)),
     )
     pols = parse_policies(cfg.get("sampling_policies", cfg.get("policies", [])), rate_getters)
     return eng, pols

@@ -216,7 +216,7 @@ class SamplingPipeline:
         ).select("doc_id")
 
         # -- 3. evaluate remaining traces
-        agg = aggregate_batch(to_eval, self.policies, b)
+        agg = aggregate_batch(to_eval, self.policies, b, salt_buckets=self.engine.salt_buckets)
         merged = merge_with_pending(agg, pend_state)
         merged = with_hash_columns(merged, self.policies)
         decided = post_decision_state(

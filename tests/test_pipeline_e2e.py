@@ -425,3 +425,29 @@ def test_metrics_decision_from_and_cache_reads(spark, tmp_dirs):
     m0 = pipe.store.read("metrics", 0).collect()
     reads0 = {r.labels["hit"]: r.value for r in m0 if r.metric == "cache_reads"}
     assert reads0 == {"true": 0, "false": 1}
+
+
+def test_salted_agg_identical_results(spark, tmp_dirs):
+    """salt_buckets>0 two-phase aggregation routes identically to the
+    plain groupBy (north rule: salted two-phase agg on the trace key)."""
+    spans = [
+        dict(doc_id=trace_id(80 + i % 5), span_id=i + 1, status=i % 3, batch_idx=i % 2)
+        for i in range(40)
+    ]
+    outs = {}
+    for salt in (0, 8):
+        ck, out = tmp_dirs
+        pipe = SamplingPipeline(
+            spark,
+            parse_policies(SPAN_COUNT_2 + [{"name": "err", "type": "status_code",
+                                            "status_code": {"status_codes": ["ERROR"]}}]),
+            EngineConfig(salt_buckets=salt),
+            checkpoint_dir=f"{ck}_{salt}",
+            output_dir=f"{out}_{salt}",
+        )
+        pipe.run(seq_table_from_spans(spark, spans))
+        outs[salt] = sorted(
+            (r.doc_id, tuple(r.tokens), r.reason)
+            for r in pipe.read_sink("keep").collect() + pipe.read_sink("drop").collect()
+        )
+    assert outs[0] == outs[8] and len(outs[0]) > 0
