@@ -36,7 +36,11 @@ def generate_span_arrays(
     """Generate span-level numpy columns for ``n_traces`` traces."""
     rng = np.random.default_rng(seed)
 
+    # ~20% lone-root traces (the reference's "early garbage" the
+    # root_spans policy demotes to the secondary tier, README.md:22-26);
+    # the rest 2+ spans, geometric tail
     spans_per_trace = 1 + rng.geometric(p=min(0.999, 1.0 / mean_spans), size=n_traces)
+    spans_per_trace[rng.random(n_traces) < 0.2] = 1
     n = int(spans_per_trace.sum())
     trace_idx = np.repeat(np.arange(n_traces), spans_per_trace)
 

@@ -40,7 +40,7 @@ def log(*a):
 
 
 def corpus_path() -> str:
-    path = f"/tmp/asp_bench_corpus/sf{SF}_t{N_TRACES}/seq.parquet"
+    path = f"/tmp/asp_bench_corpus/v2_sf{SF}_t{N_TRACES}/seq.parquet"  # v2: lone-root traces
     if not os.path.exists(path):
         from atlassian_sampling_processor_spark import datagen
 
