@@ -139,55 +139,18 @@ class StatusCode(Policy):
         return F.when(any_hit, _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
 
 
-# --- OTTL comparison subset -------------------------------------------------
-
-_OTTL_RE = re.compile(
-    r'^\s*(?:attributes\[\s*"(?P<attr>[^"]+)"\s*\]|(?P<field>name|kind|trace_state))'
-    r'\s*(?P<op>==|!=)\s*"(?P<val>[^"]*)"\s*$'
-)
-
-
-def _ottl_span_condition(cond: str) -> Column:
-    m = _OTTL_RE.match(cond)
-    if not m:
-        raise PolicyError(f"unsupported OTTL span condition: {cond!r}")
-    if m.group("attr") is not None:
-        # absent attr: OTTL `attributes["k"] == "v"` is false, `!=` is true
-        lhs = F.col("attrs").getItem(m.group("attr"))
-    elif m.group("field") == "name":
-        lhs = F.col("name")
-    else:
-        raise PolicyError(f"unsupported OTTL span field: {m.group('field')!r}")
-    val = F.lit(m.group("val"))
-    if m.group("op") == "==":
-        return lhs.isNotNull() & (lhs == val)
-    return lhs.isNull() | (lhs != val)
-
-
-def _ottl_event_condition(cond: str) -> Column:
-    m = _OTTL_RE.match(cond)
-    if not m:
-        raise PolicyError(f"unsupported OTTL spanevent condition: {cond!r}")
-    if m.group("attr") is not None:
-        lhs = F.col("event_attrs").getItem(m.group("attr"))
-    elif m.group("field") == "name":
-        lhs = F.col("event_name")
-    else:
-        raise PolicyError(f"unsupported OTTL spanevent field: {m.group('field')!r}")
-    val = F.lit(m.group("val"))
-    has_event = F.col("event_name").isNotNull()
-    if m.group("op") == "==":
-        return has_event & lhs.isNotNull() & (lhs == val)
-    return has_event & (lhs.isNull() | (lhs != val))
+# --- OTTL grammar subset (policies/ottl.py) -----------------------------------
 
 
 @dataclass
 class OTTLCondition(Policy):
     """Any span (event) matching any condition ⇒ Sampled (ottl.go:42-120,
-    OR across the condition sequence). Supports the comparison subset the
-    reference's fixtures use (ottl_test.go:22-112,
-    testdata/atlassian_sampling_test_cfg.yml:70-83); unsupported syntax
-    is a build-time PolicyError.
+    OR across the condition sequence). Conditions are parsed by the OTTL
+    grammar subset in :mod:`.ottl` — comparisons (`== != > >= < <=`),
+    `and`/`or`/`not` with parentheses, `IsMatch` — covering the
+    reference's fixtures (ottl_test.go:22-112) and the common forms
+    beyond them; unsupported syntax is a build-time PolicyError, matching
+    the reference's fail-to-start behavior.
     """
 
     span_conditions: list[str] = field(default_factory=list)
@@ -195,21 +158,32 @@ class OTTLCondition(Policy):
     error_mode: str = "ignore"
 
     def __post_init__(self):
+        from . import ottl
+
         if not self.span_conditions and not self.span_event_conditions:
             raise PolicyError("at least one OTTL condition must be specified")
-        # validate syntax at build time (the reference fails to start on a
-        # bad condition); Column construction is deferred — it needs an
-        # active SparkContext, config parsing must not.
-        for c in self.span_conditions + self.span_event_conditions:
-            if not _OTTL_RE.match(c):
-                raise PolicyError(f"unsupported OTTL condition: {c!r}")
+        # parse + path-validate at build time; Column construction is
+        # deferred — it needs an active SparkContext, config parsing must not
+        self._span_asts = []
+        for c in self.span_conditions:
+            ast = ottl.parse_condition(c)
+            ottl.validate_paths(ast, "span")
+            self._span_asts.append(ast)
+        self._event_asts = []
+        for c in self.span_event_conditions:
+            ast = ottl.parse_condition(c)
+            ottl.validate_paths(ast, "spanevent")
+            self._event_asts.append(ast)
 
     def _flag(self) -> str:
         return f"ottl_match_{re.sub(r'[^A-Za-z0-9_]', '_', self.name)}"
 
     def span_agg_exprs(self) -> list[Column]:
-        conds = [_ottl_span_condition(c) for c in self.span_conditions] + [
-            _ottl_event_condition(c) for c in self.span_event_conditions
+        from . import ottl
+
+        has_event = F.col("event_name").isNotNull()
+        conds = [ottl.to_column(a, "span") for a in self._span_asts] + [
+            has_event & ottl.to_column(a, "spanevent") for a in self._event_asts
         ]
         any_cond = reduce(lambda a, b: a | b, conds)
         return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]

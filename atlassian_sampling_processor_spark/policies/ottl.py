@@ -1,0 +1,274 @@
+"""OTTL boolean-expression subset → Catalyst Column translation.
+
+The reference wires the full collector-contrib OTTL parser
+(internal/evaluators/ottl.go:42-120); this module implements the
+published-grammar subset that covers the reference's fixtures
+(ottl_test.go:22-112, testdata/atlassian_sampling_test_cfg.yml:70-83)
+plus the forms real configs hit immediately beyond them:
+
+* comparisons  ``== != > >= < <=`` over span/spanevent paths and
+  string / numeric / boolean literals;
+* boolean composition ``and`` / ``or`` / ``not`` with parentheses
+  (OTTL precedence: ``not`` > ``and`` > ``or``);
+* ``IsMatch(target, "pattern")`` — regex match (validated at parse
+  time; note Spark's ``rlike`` is Java regex vs OTTL's RE2 — the
+  common syntax is identical, lookarounds differ).
+
+Paths supported per context (the columns the pipeline carries):
+span: ``attributes["k"]``, ``name``; spanevent: ``attributes["k"]``,
+``name``. Anything else is a build-time :class:`PolicyError`, matching
+the reference's fail-to-start behavior on unparsable conditions.
+
+Parsing happens at CONFIG time (pure-Python AST, no SparkContext);
+Column construction is deferred to plan build. Missing-value semantics
+follow OTTL comparison rules: a comparison against an absent value is
+false, except ``!=`` which is true (nil is "not equal").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .base import PolicyError
+
+# --------------------------------------------------------------------------
+# tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<op>==|!=|>=|<=|>|<)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<lbracket>\[)
+      | (?P<rbracket>\])
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<comma>,)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == m.start():
+            rest = src[pos:].strip()
+            if not rest:
+                break
+            raise PolicyError(f"OTTL: cannot tokenize at {rest[:20]!r} in {src!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# AST: ("lit", value) | ("path", [parts]) | ("ismatch", target_ast, pattern)
+#      ("cmp", op, lhs, rhs) | ("and", l, r) | ("or", l, r) | ("not", x)
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], src: str):
+        self.toks = tokens
+        self.i = 0
+        self.src = src
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind: str):
+        k, v = self._next()
+        if k != kind:
+            raise PolicyError(f"OTTL: expected {kind}, got {v!r} in {self.src!r}")
+        return v
+
+    def parse(self):
+        ast = self.parse_or()
+        if self.i != len(self.toks):
+            raise PolicyError(f"OTTL: trailing tokens after expression in {self.src!r}")
+        return ast
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self._peek() == ("ident", "or"):
+            self._next()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_unary()
+        while self._peek() == ("ident", "and"):
+            self._next()
+            left = ("and", left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self._peek() == ("ident", "not"):
+            self._next()
+            return ("not", self.parse_unary())
+        if self._peek()[0] == "lparen":
+            self._next()
+            inner = self.parse_or()
+            self._expect("rparen")
+            # a parenthesized operand may still be the lhs of a comparison
+            return self._maybe_cmp(inner)
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        lhs = self.parse_operand()
+        return self._maybe_cmp(lhs)
+
+    def _maybe_cmp(self, lhs):
+        if self._peek()[0] == "op":
+            op = self._next()[1]
+            rhs = self.parse_operand()
+            return ("cmp", op, lhs, rhs)
+        # no comparator: lhs must already be boolean-valued
+        if lhs[0] in ("ismatch", "and", "or", "not", "cmp"):
+            return lhs
+        if lhs[0] == "lit" and isinstance(lhs[1], bool):
+            return lhs
+        raise PolicyError(f"OTTL: expected comparison in {self.src!r}")
+
+    def parse_operand(self):
+        k, v = self._peek()
+        if k == "string":
+            self._next()
+            return ("lit", _unquote(v))
+        if k == "number":
+            self._next()
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "ident":
+            self._next()
+            if v in ("true", "false"):
+                return ("lit", v == "true")
+            if v == "nil":
+                return ("lit", None)
+            if v == "IsMatch":
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("comma")
+                pattern = _unquote(self._expect("string"))
+                try:
+                    re.compile(pattern)
+                except re.error as exc:
+                    raise PolicyError(
+                        f"OTTL: IsMatch pattern {pattern!r} is not a valid regex: {exc}"
+                    ) from exc
+                self._expect("rparen")
+                return ("ismatch", target, pattern)
+            if v == "attributes":
+                self._expect("lbracket")
+                key = _unquote(self._expect("string"))
+                self._expect("rbracket")
+                return ("path", ["attributes", key])
+            return ("path", [v])
+        raise PolicyError(f"OTTL: unexpected token {v!r} in {self.src!r}")
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_condition(src: str):
+    """Condition string → AST; raises PolicyError on unsupported syntax."""
+    ast = _tokenize(src)
+    return _Parser(ast, src).parse()
+
+
+# --------------------------------------------------------------------------
+# AST → Column
+
+_CTX_PATHS = {
+    "span": {"attributes": "attrs", "name": "name"},
+    "spanevent": {"attributes": "event_attrs", "name": "event_name"},
+}
+
+
+def _path_column(parts: list[str], ctx: str) -> Column:
+    paths = _CTX_PATHS[ctx]
+    head = parts[0]
+    if head not in paths:
+        raise PolicyError(f"unsupported OTTL {ctx} field: {head!r}")
+    if head == "attributes":
+        return F.col(paths[head]).getItem(parts[1])
+    return F.col(paths[head])
+
+
+def _operand_column(ast, ctx: str) -> Column:
+    kind = ast[0]
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "path":
+        return _path_column(ast[1], ctx)
+    if kind == "ismatch":
+        return to_column(ast, ctx)
+    raise PolicyError(f"OTTL: invalid operand {ast!r}")
+
+
+def _is_numeric_lit(ast) -> bool:
+    return ast[0] == "lit" and isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+
+
+def to_column(ast, ctx: str) -> Column:
+    """AST → boolean Column (never NULL: missing-value comparisons are
+    false, `!=` against missing is true — OTTL nil semantics)."""
+    kind = ast[0]
+    if kind == "and":
+        return to_column(ast[1], ctx) & to_column(ast[2], ctx)
+    if kind == "or":
+        return to_column(ast[1], ctx) | to_column(ast[2], ctx)
+    if kind == "not":
+        return ~to_column(ast[1], ctx)
+    if kind == "ismatch":
+        target = _operand_column(ast[1], ctx)
+        return F.coalesce(target.rlike(ast[2]), F.lit(False))
+    if kind == "cmp":
+        op, l, r = ast[1], ast[2], ast[3]
+        lc, rc = _operand_column(l, ctx), _operand_column(r, ctx)
+        # numeric comparison against a string-typed attr: try_cast, so a
+        # non-numeric value compares false rather than throwing (ANSI on)
+        if _is_numeric_lit(r) and l[0] == "path":
+            lc = lc.try_cast("double")
+        if _is_numeric_lit(l) and r[0] == "path":
+            rc = rc.try_cast("double")
+        if op == "==":
+            return F.coalesce(lc == rc, F.lit(False))
+        if op == "!=":
+            return F.coalesce(lc != rc, F.lit(True))
+        cmp = {"<": lc < rc, "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[op]
+        return F.coalesce(cmp, F.lit(False))
+    if kind == "lit":  # bare true/false
+        return F.lit(bool(ast[1]))
+    raise PolicyError(f"OTTL: invalid expression node {ast!r}")
+
+
+def validate_paths(ast, ctx: str) -> None:
+    """Config-time check that every path resolves in this context (no
+    SparkContext needed)."""
+    kind = ast[0]
+    if kind in ("and", "or"):
+        validate_paths(ast[1], ctx)
+        validate_paths(ast[2], ctx)
+    elif kind == "not":
+        validate_paths(ast[1], ctx)
+    elif kind == "ismatch":
+        validate_paths(ast[1], ctx)
+    elif kind == "cmp":
+        validate_paths(ast[2], ctx)
+        validate_paths(ast[3], ctx)
+    elif kind == "path":
+        if ast[1][0] not in _CTX_PATHS[ctx]:
+            raise PolicyError(f"unsupported OTTL {ctx} field: {ast[1][0]!r}")

@@ -404,6 +404,7 @@ def sampling_queries() -> dict[str, tuple]:
         "root_spans_policy": (q_root_spans_policy, SQL_ROOT_SPANS),
         "downgrader_policy": (q_downgrader_policy, SQL_DOWNGRADER),
         "ottl_condition_policy": (q_ottl_policy, SQL_OTTL),
+        "ottl_ismatch_policy": (q_ottl_ismatch_policy, SQL_OTTL_ISMATCH),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -625,6 +626,43 @@ def q_ottl_policy(spark, sf_dir):
 SQL_OTTL = """
   SELECT user_id AS trace_key,
          CASE WHEN max(CASE WHEN json_extract_string(props, '$.k') = '42' THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ottl_ismatch_policy(spark, sf_dir):
+    """ottl_condition with the widened grammar (policies/ottl.py): span
+    condition `IsMatch(attributes["k"], "^4") or attributes["k"] >= 87`
+    — regex match + numeric comparison + `or`, compiled through the real
+    OTTLCondition policy builder so the oracle checks the parser output,
+    not a hand-mirrored expression."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="ismatch",
+        span_conditions=['IsMatch(attributes["k"], "^4") or attributes["k"] >= 87'],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(F.lit("k"), F.get_json_object("props", "$.k")).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+        F.lit("span").alias("name"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_ISMATCH = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^4')
+                              OR TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 87
+                            THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id
 """

@@ -110,6 +110,65 @@ def test_full_config_parses(tmp_path):
     assert pols[9]._to == D.NOT_SAMPLED
 
 
+REFERENCE_CFG = "/root/reference/pkg/processor/atlassiansamplingprocessor/testdata/atlassian_sampling_test_cfg.yml"
+
+
+def test_reference_yaml_loads_verbatim():
+    """The reference's own test config loads unmodified and builds all 10
+    policies (config_test.go:25-184)."""
+    import os
+
+    if not os.path.exists(REFERENCE_CFG):
+        pytest.skip("reference checkout not present")
+    eng, pols = load_config(REFERENCE_CFG)
+    assert eng.shards == 5
+    assert eng.primary_cache_size == 1000
+    assert eng.secondary_cache_size == 100
+    assert eng.sampled_cache_size == 1000  # nested decision_cache:
+    assert eng.non_sampled_cache_size == 10000
+    assert eng.compress is True
+    assert eng.target_heap_bytes == 100_000_000
+    assert eng.regulate_cache_delay_s == 300.0  # "5m"
+    assert eng.preprocess_buffer_size == 10
+
+    assert [type(x) for x in pols] == [
+        Probabilistic, AndPolicy, SpanCount, RootSpans, Latency,
+        StatusCode, OTTLCondition, Threshold, RemoteProbabilistic, Downgrader,
+    ]
+    assert pols[0].hash_salt == "custom-salt" and pols[0].sampling_percentage == 0.1
+    # nested record_decision_from object shape
+    assert pols[1].record_decision_from == "service.name"
+    assert pols[1].decision_groupers == [("^(conf|confluence)-.*", "confluence-monolith")]
+    # anonymous sub-policies get derived names
+    assert isinstance(pols[3].sub_policy, Probabilistic)
+    assert pols[3].sub_policy.sampling_percentage == 0
+    assert pols[8].default_rate == 0.01 and pols[8].hash_salt == "test-salt"
+    assert pols[9].emit_single_span_for_not_sampled is True
+    assert isinstance(pols[9].sub_policy, Probabilistic)
+
+
+def test_record_decision_from_validation():
+    base = {"name": "p", "type": "threshold"}
+    with pytest.raises(PolicyError, match="res_attr_key must not be empty"):
+        parse_policies([{**base, "record_decision_from": {"mappings": []}}])
+    with pytest.raises(PolicyError, match="pattern must not be empty"):
+        parse_policies([{**base, "record_decision_from": {
+            "res_attr_key": "service.name", "mappings": [{"value": "x"}]}}])
+    with pytest.raises(PolicyError, match="not a valid regex"):
+        parse_policies([{**base, "record_decision_from": {
+            "res_attr_key": "service.name",
+            "mappings": [{"pattern": "([", "value": "x"}]}}])
+
+
+def test_engine_validation_rejected():
+    with pytest.raises(PolicyError, match="secondary_cache_size"):
+        load_config({"max_traces": 100, "secondary_cache_size": 51})
+    with pytest.raises(PolicyError, match="primary_cache_size"):
+        load_config({"max_traces": 0})
+    with pytest.raises(PolicyError, match="shards"):
+        load_config({"shards": 0})
+
+
 def test_duplicate_policy_names_rejected():
     with pytest.raises(PolicyError, match="duplicate"):
         parse_policies(

@@ -293,3 +293,64 @@ def test_ottl_golden(spark, span_conds, event_conds, spans, expected):
         name="ottl", span_conditions=span_conds, span_event_conditions=event_conds
     )
     assert eval_ottl(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "span_conds,event_conds,spans,expected",
+    [
+        # IsMatch (regex) on attr / name
+        (['IsMatch(attributes["k"], "^pre.*")'], [], [dict(attrs={"k": "prefix-x"})], D.SAMPLED),
+        (['IsMatch(attributes["k"], "^pre.*")'], [], [dict(attrs={"k": "other"})], D.PENDING),
+        (['IsMatch(attributes["k"], "^pre")'], [], [dict(attrs={})], D.PENDING),  # missing attr
+        (['IsMatch(name, "span-.*")'], [], [dict()], D.SAMPLED),
+        # numeric comparisons on string-typed attrs (try_cast semantics)
+        (['attributes["n"] > 5'], [], [dict(attrs={"n": "7"})], D.SAMPLED),
+        (['attributes["n"] > 5'], [], [dict(attrs={"n": "3"})], D.PENDING),
+        (['attributes["n"] >= 5.5'], [], [dict(attrs={"n": "5.5"})], D.SAMPLED),
+        (['attributes["n"] < 5'], [], [dict(attrs={"n": "not-a-number"})], D.PENDING),
+        (['attributes["n"] <= 5'], [], [dict(attrs={})], D.PENDING),  # missing ⇒ false
+        # and / or / not composition with parentheses
+        (
+            ['attributes["a"] == "1" and attributes["b"] == "2"'],
+            [], [dict(attrs={"a": "1", "b": "2"})], D.SAMPLED,
+        ),
+        (
+            ['attributes["a"] == "1" and attributes["b"] == "2"'],
+            [], [dict(attrs={"a": "1", "b": "x"})], D.PENDING,
+        ),
+        (
+            ['attributes["a"] == "1" or attributes["b"] == "2"'],
+            [], [dict(attrs={"b": "2"})], D.SAMPLED,
+        ),
+        # precedence: and binds tighter than or
+        (
+            ['attributes["a"] == "x" and attributes["a"] == "y" or attributes["b"] == "2"'],
+            [], [dict(attrs={"b": "2"})], D.SAMPLED,
+        ),
+        (
+            ['not (attributes["a"] == "1")'],
+            [], [dict(attrs={"a": "2"})], D.SAMPLED,
+        ),
+        # spanevent grammar forms still require an event on the span
+        ([], ['attributes["n"] > 5'], [dict(event_name="e", event_attrs={"n": "9"})], D.SAMPLED),
+        ([], ['attributes["n"] > 5'], [dict()], D.PENDING),
+    ],
+)
+def test_ottl_widened_grammar_golden(spark, span_conds, event_conds, spans, expected):
+    """IsMatch / numeric comparisons / and-or-not (ottl.go:42-120 wires
+    the full collector-contrib grammar; this is the documented subset)."""
+    pol = OTTLCondition(
+        name="ottl_wide", span_conditions=span_conds, span_event_conditions=event_conds
+    )
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+def test_ottl_widened_build_errors():
+    with pytest.raises(PolicyError, match="not a valid regex"):
+        OTTLCondition(name="o", span_conditions=['IsMatch(name, "([")'])
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o", span_conditions=['attributes["a"] == '])  # dangling op
+    with pytest.raises(PolicyError):  # unsupported path shape
+        OTTLCondition(name="o", span_conditions=['resource.attributes["a"] == "1"'])
+    with pytest.raises(PolicyError, match="unsupported OTTL span field"):
+        OTTLCondition(name="o", span_conditions=['kind == "SPAN_KIND_SERVER"'])
