@@ -60,6 +60,11 @@ class EngineConfig:
     # accepted for reference-YAML compatibility; n/a by design — Spark's
     # scheduler replaces the preprocess chan (config.go:45-47)
     preprocess_buffer_size: int = 0
+    # eviction rank plan: False = per-tier window (single task per tier,
+    # fine while capacity+batch is task-sized); True = range-partitioned
+    # two-level rank with no single-task sort (functions/topk.py) for
+    # very large capacities. Identical results either way.
+    two_level_eviction: bool = False
 
     def primary_capacity(self) -> int:
         return max(1, int(self.primary_cache_size * self.primary_warm_fraction))
@@ -257,6 +262,7 @@ def load_config(path_or_dict,
         regulate_cache_delay_s=parse_duration(cfg.get("regulate_cache_delay", 0)),
         flush_on_shutdown=bool(cfg.get("flush_on_shutdown", False)),
         preprocess_buffer_size=int(cfg.get("preprocess_buffer_size", 0)),
+        two_level_eviction=bool(cfg.get("two_level_eviction", False)),
     )
     validate_engine(eng)
     pols = parse_policies(cfg.get("sampling_policies", cfg.get("policies", [])), rate_getters)

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
@@ -134,13 +134,14 @@ class SamplingPipeline:
                 F.sum((F.col("sink") == "keep").cast("long")).alias("kept"),
                 F.sum((F.col("sink") == "drop").cast("long")).alias("dropped"),
                 F.sum((F.col("sink") == "low_priority").cast("long")).alias("low"),
+                F.sum((F.col("reason") == "internal_error").cast("long")).alias("interr"),
             )
         )
         df.write.mode("overwrite").partitionBy("sink").parquet(
             f"{self.out}/routed/batch={batch}"
         )
         got = obs.get
-        return {k: int(got[k] or 0) for k in ("kept", "dropped", "low")}
+        return {k: int(got[k] or 0) for k in ("kept", "dropped", "low", "interr")}
 
     def read_sink(self, sink: str) -> DataFrame:
         import glob
@@ -177,7 +178,21 @@ class SamplingPipeline:
         # no persist: every consumer branch column-prunes its own scan of
         # the (page-cached) batch parquet, which beats materializing the
         # full token payload into the block store
-        spans = enrich(parse_sequences(raw_batch))
+        # internal-error guard (reportTraceDataErr, processor.go:676-680):
+        # rows whose token header fails validation can't be decoded —
+        # routed to the drop sink with reason=internal_error and counted
+        # into internal_error_dropped_spans (the reference drops silently;
+        # a sink row keeps our conservation invariant auditable). The
+        # filter sits BELOW the decoder so ANSI element_at never sees a
+        # short array.
+        valid = F.coalesce(
+            (F.size("tokens") >= codec.HEADER_LEN)
+            & (F.try_element_at("tokens", F.lit(1)) == codec.MAGIC)
+            & (F.try_element_at("tokens", F.lit(2)) == codec.VERSION),
+            F.lit(False),  # NULL (e.g. null tokens) counts as invalid
+        )
+        bad_spans = raw_batch.filter(~valid)
+        spans = enrich(parse_sequences(raw_batch.filter(valid)))
         reg = spans.filter(~F.col("is_decision_span"))
         dec_spans = spans.filter(F.col("is_decision_span"))
 
@@ -266,19 +281,42 @@ class SamplingPipeline:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        ev_age = {}  # tier -> sum of eviction ages in batches (see _metrics_rows)
+        evicted_full = None
         if tier_counts.get("primary", 0) <= prim_cap and tier_counts.get("secondary", 0) <= sec_cap:
             evicted = _empty(self.spark, "doc_id string, tier string")
             pend_new = pend_mid
             n_evicted = 0
         else:
-            w = Window.partitionBy("tier").orderBy(
-                F.desc("last_seen_batch"), F.desc("arrival_batch"), F.desc("doc_id")
+            from .functions.topk import ranked_in_group
+
+            ranked = ranked_in_group(
+                pend_mid.withColumn("tier", tier),
+                "tier",
+                [F.desc("last_seen_batch"), F.desc("arrival_batch"), F.desc("doc_id")],
+                two_level=self.engine.two_level_eviction,
             )
-            ranked = pend_mid.withColumn("tier", tier).withColumn("rn", F.row_number().over(w))
             cap = F.when(F.col("tier") == "secondary", F.lit(sec_cap)).otherwise(F.lit(prim_cap))
-            evicted = ranked.filter(F.col("rn") > cap).select("doc_id", "tier").persist()
+            evicted_full = (
+                ranked.filter(F.col("rn") > cap)
+                .select("doc_id", "tier", "arrival_batch")
+                .persist()
+            )
             pend_new = ranked.filter(F.col("rn") <= cap).drop("tier", "rn")
-            n_evicted = evicted.count()
+            # one agg instead of a bare count: per-tier counts + eviction
+            # AGE (batches since arrival — trace_eviction_time,
+            # processor.go:653-663, in batch units)
+            ev_stats = (
+                evicted_full.groupBy("tier")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.lit(b) - F.col("arrival_batch")).alias("age"),
+                )
+                .collect()
+            )
+            n_evicted = sum(r["n"] for r in ev_stats)
+            ev_age = {r["tier"]: int(r["age"] or 0) for r in ev_stats}
+            evicted = evicted_full.select("doc_id", "tier")
 
         # -- 6. route everything to one partitioned sink write. Current-batch
         # spans get their trace's decision in ONE join (the shuffle reuses
@@ -344,6 +382,7 @@ class SamplingPipeline:
             tag(span_route.filter(F.col("_d") == D.SAMPLED), "keep", "sampled", F.col("_p")),
             tag(late_dropped, "drop", "late_not_sampled"),
             tag(span_route.filter(F.col("_d") == D.NOT_SAMPLED), "drop", "not_sampled", F.col("_p")),
+            tag(bad_spans, "drop", "internal_error"),
             cached_routed,
         ]
         # not-sampled placeholder rows (processor.go:517-533)
@@ -366,6 +405,15 @@ class SamplingPipeline:
         routed = routed_parts[0]
         for part in routed_parts[1:]:
             routed = routed.unionByName(part)
+        # sampled forward strips the flush-count attr (processor.go:497-503
+        # sendSampledTraceData) — kept rows carry flushes = NULL; the
+        # shutdown flush path (flush()) is the one that sets it
+        routed = routed.withColumn(
+            "flushes",
+            F.when(F.col("sink") == "keep", F.lit(None).cast("int")).otherwise(
+                F.col("flushes")
+            ),
+        )
         sink_counts = self._write_routed(b, routed)
 
         # -- 7. decision/trace counters: one small collect over the
@@ -418,35 +466,59 @@ class SamplingPipeline:
         # decision-cache capacity (two LRU decision caches,
         # processor.go:142-148): exact per-kind totals tracked driver-side
         # in the commit marker; the rank only runs on overflow.
-        ds_counts = {
-            r["decision"]: r["n"]
-            for r in new_dec_from_spans.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        dec_ev_age: dict[int, tuple[int, int]] = {}  # decision -> (count, age sum)
         meta = self.store.last_meta()
-        prev_s = meta.get("dec_sampled")
-        prev_ns = meta.get("dec_not_sampled")
-        if prev_s is None or prev_ns is None:  # old checkpoint: count once
-            old = {
-                r["decision"]: r["n"]
-                for r in dec_state.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
-        tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
-        tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
-        if tot_s <= self.engine.sampled_cache_size and tot_ns <= self.engine.non_sampled_cache_size:
-            dec_new = dec_mid
+        if self.engine.sampled_cache_size == 0 and self.engine.non_sampled_cache_size == 0:
+            # nop decision cache (nop_cache.go:11-40): decisions are never
+            # remembered — late spans of a decided trace re-evaluate from
+            # scratch next batch. decision_state stays empty.
+            dec_new = _empty(self.spark, DECISION_STATE_SCHEMA)
+            tot_s = tot_ns = 0
         else:
-            dw = Window.partitionBy("decision").orderBy(F.desc("decided_batch"), F.desc("doc_id"))
-            dcap = F.when(
-                F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
-            ).otherwise(F.lit(self.engine.non_sampled_cache_size))
-            dec_new = (
-                dec_mid.withColumn("drn", F.row_number().over(dw))
-                .filter(F.col("drn") <= dcap)
-                .drop("drn")
-            )
-            tot_s = min(tot_s, self.engine.sampled_cache_size)
-            tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
+            ds_counts = {
+                r["decision"]: r["n"]
+                for r in new_dec_from_spans.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            prev_s = meta.get("dec_sampled")
+            prev_ns = meta.get("dec_not_sampled")
+            if prev_s is None or prev_ns is None:  # old checkpoint: count once
+                old = {
+                    r["decision"]: r["n"]
+                    for r in dec_state.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
+            tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
+            tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
+            if tot_s <= self.engine.sampled_cache_size and tot_ns <= self.engine.non_sampled_cache_size:
+                dec_new = dec_mid
+            else:
+                from .functions.topk import ranked_in_group
+
+                dranked = ranked_in_group(
+                    dec_mid,
+                    "decision",
+                    [F.desc("decided_batch"), F.desc("doc_id")],
+                    two_level=self.engine.two_level_eviction,
+                )
+                dcap = F.when(
+                    F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
+                ).otherwise(F.lit(self.engine.non_sampled_cache_size))
+                dec_new = dranked.filter(F.col("rn") <= dcap).drop("rn")
+                # decision_eviction_time (processor.go:665-674): age of the
+                # decisions falling off each cache, in batch units. Only
+                # costs a job on the (rare) overflow batch.
+                dec_ev_age = {
+                    r["decision"]: (int(r["n"]), int(r["age"] or 0))
+                    for r in dranked.filter(F.col("rn") > dcap)
+                    .groupBy("decision")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
+                    )
+                    .collect()
+                }
+                tot_s = min(tot_s, self.engine.sampled_cache_size)
+                tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
 
         pend_obs = Observation(f"pend_{b}")
         self.store.write(
@@ -470,18 +542,39 @@ class SamplingPipeline:
         hits = int(cache_stats["hits"] or 0)
         misses = int(cache_stats["n"] or 0) - hits
         self.store.write(
-            "metrics", b, self._metrics_rows(b, dec_counts, res, hits=hits, misses=misses)
+            "metrics",
+            b,
+            self._metrics_rows(
+                b,
+                dec_counts,
+                res,
+                hits=hits,
+                misses=misses,
+                internal_errors=sink_counts["interr"],
+                ev_age=ev_age,
+                dec_ev_age=dec_ev_age,
+            ),
         )
         self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
 
-        for df in (decided, evicted, new_dec_from_spans):
+        for df in (decided, new_dec_from_spans):
             df.unpersist()
+        if evicted_full is not None:
+            evicted_full.unpersist()
         return res
 
     # -------------------------------------------------------------- telemetry
 
     def _metrics_rows(
-        self, b: int, dec_counts: dict, res: BatchResult, hits: int = 0, misses: int = 0
+        self,
+        b: int,
+        dec_counts: dict,
+        res: BatchResult,
+        hits: int = 0,
+        misses: int = 0,
+        internal_errors: int = 0,
+        ev_age: dict | None = None,
+        dec_ev_age: dict | None = None,
     ) -> DataFrame:
         """Per-batch metrics table mirroring the reference's counters
         (documentation.md:9-79; emission sites per BASELINE.md). Built
@@ -509,7 +602,24 @@ class SamplingPipeline:
             (b, "kept_rows", {}, res.kept),
             (b, "dropped_rows", {}, res.dropped),
             (b, "primary_cache_size", {}, res.pending_traces),
+            # internal_error_dropped_spans (processor.go:676-680): rows the
+            # decoder rejected (routed to drop with reason=internal_error)
+            (b, "internal_error_dropped_spans", {}, internal_errors),
         ]
+        # trace_eviction_time (processor.go:653-663): summed eviction age in
+        # BATCH units per cache tier (the reference records wall seconds per
+        # eviction; batch index is this engine's clock). Emitted only on
+        # batches that evicted.
+        for tier_name, age in sorted((ev_age or {}).items()):
+            rows.append((b, "trace_eviction_time", {"cache": tier_name}, age))
+        # decision_eviction_time (processor.go:665-674), per decision kind
+        for dec, (n, age) in sorted((dec_ev_age or {}).items()):
+            rows.append(
+                (b, "decision_eviction_time", {"decision": D.DECISION_NAMES[dec]}, age)
+            )
+            rows.append(
+                (b, "decision_evictions", {"decision": D.DECISION_NAMES[dec]}, n)
+            )
         return self.spark.createDataFrame(rows, schema=METRICS_SCHEMA)
 
     # ------------------------------------------------------------------- run
