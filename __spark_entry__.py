@@ -31,10 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all() -> dict[str, tuple]:
     from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
+    from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
     from atlassian_sampling_processor_spark.queries import sampling_queries
 
     out = dict(sampling_queries())
     out.update(dataops_queries())
+    out.update(dataops2_queries())
     return out
 
 

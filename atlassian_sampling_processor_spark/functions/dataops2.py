@@ -1,0 +1,224 @@
+"""Second wave of training-data pipeline operators (round 2):
+
+* **dedup_groups_connected** — connected components over the MinHash-LSH
+  near-dup candidate graph → a per-document canonical id (the classic
+  "dedup cluster then keep one representative" step of a corpus
+  pipeline). Spark side is iterative min-label propagation with
+  lineage-truncating checkpoints; the DuckDB oracle is a recursive-CTE
+  transitive closure. At 100 TB the iteration count is the graph
+  diameter (near-dup graphs are unions of small cliques, so 2–4), and
+  each step is one shuffle join — the standard large-scale CC shape
+  (cf. large-star/small-star, which bounds iterations for pathological
+  chains; swap in if diameters grow).
+* **sample_stratified** — deterministic per-source quota sampling: rank
+  docs inside each source by a salted content hash and keep the top K.
+  Runs through :func:`...functions.topk.ranked_in_group` with
+  ``two_level=True`` so the per-group rank has NO single-task sort —
+  this query is the oracle-checked evidence that the distributed rank
+  is exact.
+* **heavy_hitters_bigrams** — corpus-wide top-K word bigrams (boilerplate
+  / contamination detector). Partial aggregation does the heavy lifting
+  map-side; the final top-K is a TakeOrdered, never a full sort.
+* **doc_length_quantiles** — exact p50/p90/p99 of document length per
+  source (R-7 linear interpolation in both engines). Exact percentile
+  sorts per group — fine for per-source stats (group count is small);
+  at 100 TB with huge groups use approx_percentile and keep this as the
+  small-slice oracle.
+
+Like dataops.py, every operator ships as a (Spark builder, DuckDB
+oracle SQL) pair over the same parquet tables, with float columns
+rounded identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dataops import docs, h32, h32_sql, q_dedup_minhash_lsh, _sql_minhash_lsh
+
+# ---------------------------------------------------------------------------
+# 1. near-dup groups: connected components over LSH candidate pairs
+
+CC_SIM_THRESHOLD = 0.5  # keep LSH candidate edges with est_sim >= this
+CC_MAX_ITERS = 20  # safety bound; convergence is the component diameter
+
+
+def q_dedup_groups(spark, sf_dir) -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate) for EVERY document: canonical
+    is the min doc_id of the doc's near-dup component (itself when it has
+    no near-dups). Min-label propagation: each round every vertex takes
+    the min label among itself and its neighbours; stop when a round
+    changes nothing. ``localCheckpoint`` truncates the per-round lineage
+    so the plan stays O(1) deep (on a cluster use a reliable checkpoint
+    dir instead)."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_sim") >= CC_SIM_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = docs(spark, sf_dir).select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("canonical_id"),
+        (F.col("comp") < F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
+def _sql_dedup_groups() -> str:
+    return f"""
+      WITH RECURSIVE
+      lsh AS (SELECT * FROM ({_sql_minhash_lsh()})),
+      pairs AS (SELECT doc_a, doc_b FROM lsh WHERE est_sim >= {CC_SIM_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      ),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)
+      SELECT dd.doc_id,
+             least(coalesce(c.mn, dd.doc_id), dd.doc_id) AS canonical_id,
+             least(coalesce(c.mn, dd.doc_id), dd.doc_id) < dd.doc_id AS is_duplicate
+      FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# 2. stratified sampling: deterministic per-source top-K by salted hash
+
+SAMPLE_K = 20
+
+
+def q_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Keep the K docs per source whose salted content hash ranks lowest —
+    a reproducible stratified sample (same rows on every run/cluster).
+    Uses the two-level distributed rank (functions/topk.py), so no source
+    strata ever sorts in a single task."""
+    from .topk import ranked_in_group
+
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        h32(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))).alias("rk"),
+    )
+    ranked = ranked_in_group(d, "source", [F.col("rk"), F.col("doc_id")], two_level=True)
+    return ranked.filter(F.col("rn") <= SAMPLE_K).select(
+        "doc_id", "source", F.col("rn").cast("int").alias("sample_rank")
+    )
+
+
+def _sql_sample_stratified() -> str:
+    rk = h32_sql("'smp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+      SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY {rk}, doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= {SAMPLE_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# 3. heavy hitters: corpus-wide top-K word bigrams
+
+BIGRAM_TOP_K = 20
+
+
+def q_heavy_hitter_bigrams(spark, sf_dir) -> DataFrame:
+    """Top-K most frequent word bigrams with counts. Catalyst plans the
+    groupBy as partial+final hash aggregation (map-side combine), and the
+    ordered limit as TakeOrdered — no global sort materializes. The
+    (n DESC, bigram ASC) order is total, so the K-set is deterministic."""
+    w = F.col("w")
+    seq = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs(spark, sf_dir)
+        .select(F.split(F.col("text"), " ").alias("w"))
+        .select("w", F.explode(seq).alias("i"))
+        .select(F.array_join(F.slice("w", F.col("i"), 2), " ").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+SQL_HEAVY_HITTER_BIGRAMS = f"""
+  SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS bigram,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  )
+  GROUP BY 1
+  ORDER BY n DESC, bigram ASC
+  LIMIT {BIGRAM_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. per-source document-length quantiles (exact, R-7 interpolation)
+
+
+def q_doc_length_quantiles(spark, sf_dir) -> DataFrame:
+    d = docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90,
+         round(quantile_cont(n_chars, 0.99), 4) AS p99
+  FROM documents GROUP BY source
+"""
+
+
+def dataops2_queries() -> dict[str, tuple]:
+    return {
+        "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
+        "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
+        "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
+        "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
+    }

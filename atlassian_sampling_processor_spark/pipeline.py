@@ -34,6 +34,8 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -73,6 +75,23 @@ DECISION_SPAN_POLICY = "__decision_span__"
 
 def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
+
+
+class _Prof:
+    """Per-phase wall clock for the batch's driver actions, printed when
+    ASP_PROFILE=1 — the tool that finds serial (Amdahl) overhead."""
+
+    def __init__(self, batch: int):
+        self.on = os.environ.get("ASP_PROFILE") == "1"
+        self.batch = batch
+        self.t = time.perf_counter()
+
+    def mark(self, phase: str) -> None:
+        if not self.on:
+            return
+        now = time.perf_counter()
+        print(f"[prof b{self.batch}] {phase}: {now - self.t:.2f}s", flush=True)
+        self.t = now
 
 
 @dataclass
@@ -156,6 +175,7 @@ class SamplingPipeline:
     # ------------------------------------------------------------- batch step
 
     def process_batch(self, raw_batch: DataFrame, b: int) -> BatchResult:
+        prof = _Prof(b)
         prev = self.store.last_committed_batch()
         pend_state = self.store.read("pending_state", prev, PENDING_STATE_SCHEMA)
         pend_spans = self.store.read("pending_spans", prev, PENDING_SPANS_SCHEMA)
@@ -212,6 +232,7 @@ class SamplingPipeline:
             )
             .persist()
         )
+        prof.mark("decision_span_ingest")
         dec_state_mid = dec_state.unionByName(new_dec_from_spans)
 
         # -- 2. early decision check (processor.go:408-430): one join serves
@@ -281,6 +302,7 @@ class SamplingPipeline:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        prof.mark("decide+tier_counts")
         ev_age = {}  # tier -> sum of eviction ages in batches (see _metrics_rows)
         evicted_full = None
         if tier_counts.get("primary", 0) <= prim_cap and tier_counts.get("secondary", 0) <= sec_cap:
@@ -414,32 +436,9 @@ class SamplingPipeline:
                 F.col("flushes")
             ),
         )
-        sink_counts = self._write_routed(b, routed)
+        prof.mark("eviction")
 
-        # -- 7. decision/trace counters: one small collect over the
-        # persisted per-trace decisions (feeds policy_decisions telemetry
-        # with the decision_from grouping dimension, decider.go:60-74)
-        from .decider import decision_from_column
-
-        dec_counts = {
-            (r["policy"], r["decision"], r["decision_from"]): r["n"]
-            for r in decided.filter(F.col("decision").isin(*D.DECISIVE))
-            .withColumn("decision_from", decision_from_column(self.policies))
-            .groupBy("policy", "decision", "decision_from")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_sampled = sum(n for (p, d, g), n in dec_counts.items() if d == D.SAMPLED)
-        n_not_sampled = sum(n for (p, d, g), n in dec_counts.items() if d == D.NOT_SAMPLED)
-        # cache_reads hit/miss (lru_cache.go:49-58): a batch trace probing
-        # the pending cache hits iff cached metadata existed
-        cache_stats = decided.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("cached_span_count").isNotNull().cast("long")).alias("hits"),
-        ).collect()[0]
-
-        # -- 8. state writes (pending payload only read on release/flush,
-        # DESIGN.md:100-108)
+        # -- 7. payload / decision state derivations (lazy — actions below)
         # payload stays iff its trace had no terminal outcome this batch
         pend_spans_new = all_payload.join(outcomes.select("doc_id"), "doc_id", "left_anti")
 
@@ -462,72 +461,140 @@ class SamplingPipeline:
             .unionByName(new_dec_from_spans)
         )
         dec_mid = dec_state.unionByName(new_decisions)
-
-        # decision-cache capacity (two LRU decision caches,
-        # processor.go:142-148): exact per-kind totals tracked driver-side
-        # in the commit marker; the rank only runs on overflow.
-        dec_ev_age: dict[int, tuple[int, int]] = {}  # decision -> (count, age sum)
         meta = self.store.last_meta()
-        if self.engine.sampled_cache_size == 0 and self.engine.non_sampled_cache_size == 0:
-            # nop decision cache (nop_cache.go:11-40): decisions are never
-            # remembered — late spans of a decided trace re-evaluate from
-            # scratch next batch. decision_state stays empty.
-            dec_new = _empty(self.spark, DECISION_STATE_SCHEMA)
-            tot_s = tot_ns = 0
-        else:
-            ds_counts = {
-                r["decision"]: r["n"]
-                for r in new_dec_from_spans.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            prev_s = meta.get("dec_sampled")
-            prev_ns = meta.get("dec_not_sampled")
-            if prev_s is None or prev_ns is None:  # old checkpoint: count once
-                old = {
-                    r["decision"]: r["n"]
-                    for r in dec_state.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-                prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
-            tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
-            tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
-            if tot_s <= self.engine.sampled_cache_size and tot_ns <= self.engine.non_sampled_cache_size:
-                dec_new = dec_mid
-            else:
-                from .functions.topk import ranked_in_group
+        pend_obs = Observation(f"pend_{b}")
 
-                dranked = ranked_in_group(
-                    dec_mid,
-                    "decision",
-                    [F.desc("decided_batch"), F.desc("doc_id")],
-                    two_level=self.engine.two_level_eviction,
-                )
-                dcap = F.when(
-                    F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
-                ).otherwise(F.lit(self.engine.non_sampled_cache_size))
-                dec_new = dranked.filter(F.col("rn") <= dcap).drop("rn")
-                # decision_eviction_time (processor.go:665-674): age of the
-                # decisions falling off each cache, in batch units. Only
-                # costs a job on the (rare) overflow batch.
-                dec_ev_age = {
-                    r["decision"]: (int(r["n"]), int(r["age"] or 0))
-                    for r in dranked.filter(F.col("rn") > dcap)
-                    .groupBy("decision")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
-                    )
+        # -- 8. run the batch's independent output jobs CONCURRENTLY. The
+        # sink write, the two pending-state writes, and the counters/
+        # decision-cache chain share no data dependencies (everything they
+        # read — `decided`, `evicted`, `new_dec_from_spans` — is persisted
+        # or upstream-complete), so submitting them from threads lets the
+        # scheduler interleave their tasks and overlaps each job's
+        # driver-side planning with the others' execution. Sequential
+        # submission made this latency strictly additive — ~half the
+        # batch's wall at high core counts was the driver waiting between
+        # jobs (the serial term the N→4N scaling criterion punishes).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .decider import decision_from_column
+
+        def job_routed():
+            return self._write_routed(b, routed)
+
+        def job_pending_state():
+            self.store.write(
+                "pending_state",
+                b,
+                pend_new.observe(pend_obs, F.count(F.lit(1)).alias("n")),
+            )
+
+        def job_pending_spans():
+            self.store.write("pending_spans", b, pend_spans_new)
+
+        def job_counts():
+            # policy_decisions telemetry with the decision_from grouping
+            # dimension (decider.go:60-74), one small collect over the
+            # persisted per-trace decisions
+            dec_counts = {
+                (r["policy"], r["decision"], r["decision_from"]): r["n"]
+                for r in decided.filter(F.col("decision").isin(*D.DECISIVE))
+                .withColumn("decision_from", decision_from_column(self.policies))
+                .groupBy("policy", "decision", "decision_from")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # cache_reads hit/miss (lru_cache.go:49-58): a batch trace
+            # probing the pending cache hits iff cached metadata existed
+            cache_stats = decided.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("cached_span_count").isNotNull().cast("long")).alias("hits"),
+            ).collect()[0]
+            return dec_counts, cache_stats
+
+        def job_decision_state(n_sampled: int, n_not_sampled: int):
+            # decision-cache capacity (two LRU decision caches,
+            # processor.go:142-148): exact per-kind totals tracked
+            # driver-side in the commit marker; the rank only runs on
+            # overflow.
+            dec_ev_age: dict[int, tuple[int, int]] = {}
+            if self.engine.sampled_cache_size == 0 and self.engine.non_sampled_cache_size == 0:
+                # nop decision cache (nop_cache.go:11-40): decisions are
+                # never remembered — late spans of a decided trace
+                # re-evaluate from scratch next batch.
+                dec_new = _empty(self.spark, DECISION_STATE_SCHEMA)
+                tot_s = tot_ns = 0
+            else:
+                ds_counts = {
+                    r["decision"]: r["n"]
+                    for r in new_dec_from_spans.groupBy("decision")
+                    .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
-                tot_s = min(tot_s, self.engine.sampled_cache_size)
-                tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
+                prev_s = meta.get("dec_sampled")
+                prev_ns = meta.get("dec_not_sampled")
+                if prev_s is None or prev_ns is None:  # old checkpoint: count once
+                    old = {
+                        r["decision"]: r["n"]
+                        for r in dec_state.groupBy("decision")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                    prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
+                tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
+                tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
+                if (
+                    tot_s <= self.engine.sampled_cache_size
+                    and tot_ns <= self.engine.non_sampled_cache_size
+                ):
+                    dec_new = dec_mid
+                else:
+                    from .functions.topk import ranked_in_group
 
-        pend_obs = Observation(f"pend_{b}")
-        self.store.write(
-            "pending_state",
-            b,
-            pend_new.observe(pend_obs, F.count(F.lit(1)).alias("n")),
-        )
-        self.store.write("pending_spans", b, pend_spans_new)
-        self.store.write("decision_state", b, dec_new)
+                    dranked = ranked_in_group(
+                        dec_mid,
+                        "decision",
+                        [F.desc("decided_batch"), F.desc("doc_id")],
+                        two_level=self.engine.two_level_eviction,
+                    )
+                    dcap = F.when(
+                        F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
+                    ).otherwise(F.lit(self.engine.non_sampled_cache_size))
+                    dec_new = dranked.filter(F.col("rn") <= dcap).drop("rn")
+                    # decision_eviction_time (processor.go:665-674): age of
+                    # the decisions falling off each cache, in batch units.
+                    # Only costs a job on the (rare) overflow batch.
+                    dec_ev_age = {
+                        r["decision"]: (int(r["n"]), int(r["age"] or 0))
+                        for r in dranked.filter(F.col("rn") > dcap)
+                        .groupBy("decision")
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
+                        )
+                        .collect()
+                    }
+                    tot_s = min(tot_s, self.engine.sampled_cache_size)
+                    tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
+            self.store.write("decision_state", b, dec_new)
+            return tot_s, tot_ns, dec_ev_age
+
+        def job_counts_then_decisions():
+            dec_counts, cache_stats = job_counts()
+            n_s = sum(n for (p, d, g), n in dec_counts.items() if d == D.SAMPLED)
+            n_ns = sum(n for (p, d, g), n in dec_counts.items() if d == D.NOT_SAMPLED)
+            return dec_counts, cache_stats, n_s, n_ns, job_decision_state(n_s, n_ns)
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_routed = ex.submit(job_routed)
+            f_pend_state = ex.submit(job_pending_state)
+            f_pend_spans = ex.submit(job_pending_spans)
+            f_chain = ex.submit(job_counts_then_decisions)
+            sink_counts = f_routed.result()
+            f_pend_state.result()
+            f_pend_spans.result()
+            dec_counts, cache_stats, n_sampled, n_not_sampled, dec_state_out = f_chain.result()
+        tot_s, tot_ns, dec_ev_age = dec_state_out
+        prof.mark("concurrent_writes+counts")
 
         res = BatchResult(
             batch_idx=b,
@@ -555,7 +622,9 @@ class SamplingPipeline:
                 dec_ev_age=dec_ev_age,
             ),
         )
+        prof.mark("metrics_write")
         self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
+        prof.mark("commit")
 
         for df in (decided, new_dec_from_spans):
             df.unpersist()

@@ -153,7 +153,7 @@ def q_threshold(spark, sf_dir):
         sv.withColumn("thr", F.when(F.col("span_id") % 3 == 0, thr))
         .withColumn("rv", rv)
         .groupBy("trace_key")
-        .agg(F.min("thr").alias("min_threshold"), F.first("rv").alias("rv"))
+        .agg(F.min("thr").alias("min_threshold"), F.min("rv").alias("rv"))
     )
     found = F.col("min_threshold").isNotNull() & (F.col("min_threshold") < MAX_THRESHOLD)
     return agg.select(

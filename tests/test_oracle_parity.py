@@ -85,8 +85,10 @@ def _all_queries():
     q = dict(sampling_queries())
     try:
         from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
+        from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
 
         q.update(dataops_queries())
+        q.update(dataops2_queries())
     except ImportError:
         pass
     return q
