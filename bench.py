@@ -252,7 +252,12 @@ def main():
             # sees all 32 host CPUs and oversubscribes 23 GC threads onto
             # 4 pinned cores (measured 13% of wall). A real cluster
             # executor gets exactly this via its container cpu limit.
-            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={CPUS}",
+            # ParallelGC beats G1 ~8-15% on this allocation-heavy batch
+            # workload (no latency SLO to protect, throughput collector
+            # is the right choice for an executor JVM).
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={CPUS} -XX:+UseParallelGC"
+            ),
         },
     )
     pipe_res = run_pipeline_bench(spark, corpus)

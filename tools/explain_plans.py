@@ -58,6 +58,31 @@ def main():
             checks.append(("column pruning (ReadSchema)", "ReadSchema" in plan))
         out.append("Checks: " + ", ".join(f"{'✅' if ok else '❌'} {c}" for c, ok in checks) + "\n")
 
+    # cartesian audit: no query may plan a CartesianProduct or a
+    # BroadcastNestedLoopJoin unless it is on the documented allowlist of
+    # deliberately-bounded cross joins (N_QUERIES-limited brute-force
+    # oracles / constant-size centroid tables).
+    ALLOWED_CROSS = {
+        "similarity_cosine_topk",  # bounded: 10 query vectors × corpus (the ANN oracle)
+        "similarity_ivf_topk",  # bounded: 10 query vectors × 4 constant centroids
+    }
+    audit = ["\n## cartesian audit (all driver queries)\n\n"]
+    bad = []
+    for name, fn in sorted(qs.items()):
+        plan = grab(fn(spark, SF), "simple")
+        cross = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        if cross and name not in ALLOWED_CROSS:
+            bad.append(name)
+        audit.append(
+            f"- {name}: "
+            + ("⚠️ bounded cross join (allowlisted)" if cross and name in ALLOWED_CROSS
+               else ("❌ UNBOUNDED CROSS JOIN" if cross else "✅ no cartesian"))
+            + "\n"
+        )
+    out.extend(audit)
+    if bad:
+        print(f"CARTESIAN AUDIT FAILED: {bad}", file=sys.stderr)
+
     # pipeline fragment: parse → agg → merge → decide
     from atlassian_sampling_processor_spark import parse
     from atlassian_sampling_processor_spark.aggregate import (
