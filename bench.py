@@ -26,10 +26,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-# pipeline corpus: ~6M spans/sf unit → sf0.1 ≈ 150k traces ≈ 600k spans.
-# ASP_BENCH_TRACES overrides (the scaling run uses a larger, CPU-bound
-# corpus so parallel efficiency isn't swamped by per-batch fixed cost).
-N_TRACES = int(os.environ.get("ASP_BENCH_TRACES", max(2000, int(1_500_000 * SF))))
+# pipeline corpus: ~24M spans/sf unit → sf0.1 ≈ 600k traces ≈ 2.5M spans,
+# sized so the ~6-action-per-batch fixed cost is amortized the way real
+# cluster-scale batches amortize it (the old 150k-trace corpus left the
+# 32-core run fixed-cost-bound: 44s for 630k rows vs 55s for 2.5M).
+# ASP_BENCH_TRACES overrides (the scaling run uses 3M traces).
+N_TRACES = int(os.environ.get("ASP_BENCH_TRACES", max(2000, int(6_000_000 * SF))))
 N_BATCHES = 2
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
