@@ -24,14 +24,19 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: this VM is host-oversubscribed past ~16 procs —
+# the same pipeline measured 110k seq/s at pinned local[16] vs 56k at
+# local[32], and raw numpy fleets also run SLOWER at 32 procs than 8
+# (BENCH/BASELINE.md). On a real cluster you size executors to physical
+# cores for the same reason. SPARK_GRAFT_CPUS overrides.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-# pipeline corpus: ~24M spans/sf unit → sf0.1 ≈ 600k traces ≈ 2.5M spans,
-# sized so the ~6-action-per-batch fixed cost is amortized the way real
-# cluster-scale batches amortize it (the old 150k-trace corpus left the
-# 32-core run fixed-cost-bound: 44s for 630k rows vs 55s for 2.5M).
-# ASP_BENCH_TRACES overrides (the scaling run uses 3M traces).
-N_TRACES = int(os.environ.get("ASP_BENCH_TRACES", max(2000, int(6_000_000 * SF))))
+# pipeline corpus: ~120M spans/sf unit → sf0.1 = 3M traces ≈ 12.6M
+# spans, sized so the ~6-action-per-batch fixed cost is amortized the
+# way real cluster-scale batches amortize it (the old 150k-trace corpus
+# left the run fixed-cost-bound: 44s for 630k rows vs 114s for 12.6M).
+# Same corpus as the scaling legs. ASP_BENCH_TRACES overrides.
+N_TRACES = int(os.environ.get("ASP_BENCH_TRACES", max(2000, int(30_000_000 * SF))))
 N_BATCHES = 2
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -215,6 +220,18 @@ def main():
     from atlassian_sampling_processor_spark.session import get_spark
 
     scaling_mode = "--scaling" in sys.argv
+    # pin ourselves (and the child JVM, which inherits affinity) to
+    # exactly CPUS cores — unpinned, the JVM's extra threads spill onto
+    # oversubscribed host CPUs and run SLOWER (local[32] unpinned: 56k
+    # seq/s; local[16] pinned: 110k on the same corpus). Not in scaling
+    # mode: the orchestrator must stay unpinned so each leg's taskset and
+    # calibration fleet see the whole machine.
+    if (
+        not scaling_mode
+        and hasattr(os, "sched_setaffinity")
+        and CPUS <= (os.cpu_count() or 32)
+    ):
+        os.sched_setaffinity(0, set(range(CPUS)))
     pipeline_only = os.environ.get("ASP_BENCH_MODE") == "pipeline_only"
     corpus = corpus_path()
 
