@@ -60,6 +60,15 @@ NAMES = [
     "TRACE NOT SAMPLED",
 ]
 
+# OTel span kind per span name (deterministic fixture assignment — the
+# header carries no kind slot; HTTP entry points are SERVER=2, outbound
+# db/cache/queue calls are CLIENT=3, the rest INTERNAL=1). Aligned with
+# NAMES; OTTL `kind` path (internal/evaluators/ottl.go span context)
+# resolves against this.
+SPAN_KIND_INTERNAL, SPAN_KIND_SERVER, SPAN_KIND_CLIENT = 1, 2, 3
+NAME_KINDS = [2, 2, 3, 3, 1, 1, 3, 1]
+assert len(NAME_KINDS) == len(NAMES)
+
 SOURCES = [
     "jira-frontend",
     "confluence-monolith",

@@ -60,6 +60,10 @@ class EngineConfig:
     # accepted for reference-YAML compatibility; n/a by design — Spark's
     # scheduler replaces the preprocess chan (config.go:45-47)
     preprocess_buffer_size: int = 0
+    # state tables commit as O(delta) merge-on-read chains, folded into a
+    # full base snapshot every N batches (amortized O(capacity/N) write —
+    # the Iceberg MERGE shape; see state.py). 1 = full rewrite per batch.
+    state_compact_every: int = 8
     # eviction rank plan: False = per-tier window (single task per tier,
     # fine while capacity+batch is task-sized); True = range-partitioned
     # two-level rank with no single-task sort (functions/topk.py) for

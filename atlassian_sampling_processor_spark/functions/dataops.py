@@ -95,7 +95,10 @@ SHINGLES_SQL = """
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    raw = _shingles(docs(spark, sf_dir))
+    # cache the exploded shingle set — the DF-cap agg, the capped join,
+    # and the sizes agg all reuse one build (r2 cached only the joined
+    # result, so the explode ran twice: the 4.5 s regression)
+    raw = _shingles(docs(spark, sf_dir)).cache()
     df_ok = (
         raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -215,10 +215,135 @@ SQL_DOC_LENGTH_QUANTILES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. 64-bit SimHash near-dup pairs (round 3 — the production signature
+# width; the 16-bit variant in dataops.py stays as the demo-width oracle)
+#
+# The 64-bit signature is kept as two 32-bit halves (slo = bits 0-31,
+# shi = bits 32-63): every intermediate stays in [0, 2^32), so no
+# signed-overflow anywhere under ANSI mode in Spark and no HUGEINT in
+# DuckDB. Pigeonhole banding: hamming <= 7 over 64 bits ⇒ at least one
+# of the 8 byte-chunks is equal, so an equi-join on (chunk_idx, chunk
+# value) is a lossless candidate generator — same argument as the
+# 16-bit operator, with byte chunks selective enough for real corpora.
+
+SIMHASH64_HAM_MAX = 7
+SIMHASH64_CHUNKS = SIMHASH64_HAM_MAX + 1  # 8 chunks × 8 bits
+
+
+def _simhash64(spark, sf_dir) -> DataFrame:
+    d = docs(spark, sf_dir)
+    wh = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .select("doc_id", F.md5("word").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("lo"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ] + [
+        F.sum(
+            F.when(F.shiftright(F.col("hi"), b - 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32, 64)
+    ]
+    agg = wh.groupBy("doc_id").agg(*sums)
+    slo = sum(
+        [F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)],
+        F.lit(0),
+    )
+    shi = sum(
+        [F.when(F.col(f"s{b}") > 0, F.lit(1 << (b - 32))).otherwise(F.lit(0)) for b in range(32, 64)],
+        F.lit(0),
+    )
+    return agg.select("doc_id", slo.cast("long").alias("slo"), shi.cast("long").alias("shi"))
+
+
+def q_simhash64_pairs(spark, sf_dir) -> DataFrame:
+    s = _simhash64(spark, sf_dir).cache()
+
+    def chunk(i: int):
+        col = "slo" if i < 4 else "shi"
+        return F.shiftright(F.col(col), 8 * (i % 4)).bitwiseAND(F.lit(0xFF))
+
+    t = s.select(
+        "doc_id",
+        "slo",
+        "shi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), chunk(i).alias("cv"))
+                    for i in range(SIMHASH64_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "slo", "shi", "ch.ci", "ch.cv")
+    cand = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.slo").alias("alo"),
+            F.col("a.shi").alias("ahi"),
+            F.col("b.slo").alias("blo"),
+            F.col("b.shi").alias("bhi"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("alo").bitwiseXOR(F.col("blo"))) + F.bit_count(
+        F.col("ahi").bitwiseXOR(F.col("bhi"))
+    )
+    return cand.filter(ham <= SIMHASH64_HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
+def _sql_simhash64_pairs() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    ) + ", " + ", ".join(
+        f"sum(CASE WHEN (hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32, 64)
+    )
+    bits_lo = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    bits_hi = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, 64)
+    )
+    return f"""
+      WITH wh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      ),
+      agg AS (SELECT doc_id, {sums} FROM wh GROUP BY doc_id),
+      s AS (SELECT doc_id, CAST({bits_lo} AS BIGINT) AS slo,
+                   CAST({bits_hi} AS BIGINT) AS shi FROM agg)
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS BIGINT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= {SIMHASH64_HAM_MAX}
+    """
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
         "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
         "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
+        "dedup_simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
     }

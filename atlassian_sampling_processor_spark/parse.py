@@ -195,6 +195,26 @@ def enrich_spans(df: DataFrame) -> DataFrame:
         )
         .withColumn("attrs", _attr_map("attr_code"))
         .withColumn("event_name", _idx_lookup(codec.EVENT_NAMES, F.col("event_name_id")))
+        # OTTL wave-3 surface (internal/evaluators/ottl.go span context):
+        # resource attrs (service.name == the source column) and span kind
+        # (deterministic per-name fixture assignment, codec.NAME_KINDS)
+        .withColumn(
+            "resource_attrs",
+            F.create_map(F.lit("service.name"), F.col("source")),
+        )
+        .withColumn(
+            "kind",
+            F.coalesce(
+                F.when(
+                    F.col("name_id") >= 0,
+                    F.element_at(
+                        F.array(*[F.lit(k) for k in codec.NAME_KINDS]),
+                        F.col("name_id") + F.lit(1),
+                    ),
+                ),
+                F.lit(0),
+            ),
+        )
         .withColumn(
             "event_attrs",
             F.when(F.col("event_attr_code") >= 0, _attr_map("event_attr_code")),

@@ -120,7 +120,9 @@ class SamplingPipeline:
         self.spark = spark
         self.policies = policies
         self.engine = engine or EngineConfig()
-        self.store = StateStore(spark, checkpoint_dir)
+        self.store = StateStore(
+            spark, checkpoint_dir, compact_every=self.engine.state_compact_every
+        )
         self.out = output_dir
         self._emit_placeholder = {
             p.name: p.emit_single_span_for_not_sampled for p in policies
@@ -307,7 +309,6 @@ class SamplingPipeline:
         evicted_full = None
         if tier_counts.get("primary", 0) <= prim_cap and tier_counts.get("secondary", 0) <= sec_cap:
             evicted = _empty(self.spark, "doc_id string, tier string")
-            pend_new = pend_mid
             n_evicted = 0
         else:
             from .functions.topk import ranked_in_group
@@ -324,7 +325,6 @@ class SamplingPipeline:
                 .select("doc_id", "tier", "arrival_batch")
                 .persist()
             )
-            pend_new = ranked.filter(F.col("rn") <= cap).drop("tier", "rn")
             # one agg instead of a bare count: per-tier counts + eviction
             # AGE (batches since arrival — trace_eviction_time,
             # processor.go:653-663, in batch units)
@@ -438,10 +438,7 @@ class SamplingPipeline:
         )
         prof.mark("eviction")
 
-        # -- 7. payload / decision state derivations (lazy — actions below)
-        # payload stays iff its trace had no terminal outcome this batch
-        pend_spans_new = all_payload.join(outcomes.select("doc_id"), "doc_id", "left_anti")
-
+        # -- 7. decision state derivations (lazy — actions below)
         new_decisions = (
             sampled.select(
                 "doc_id", F.lit(D.SAMPLED).alias("decision"), "policy", F.lit(b).alias("decided_batch")
@@ -462,7 +459,10 @@ class SamplingPipeline:
         )
         dec_mid = dec_state.unionByName(new_decisions)
         meta = self.store.last_meta()
-        pend_obs = Observation(f"pend_{b}")
+        evicted_keys = evicted.select("doc_id")
+        n_pending = (
+            tier_counts.get("primary", 0) + tier_counts.get("secondary", 0) - n_evicted
+        )
 
         # -- 8. run the batch's independent output jobs CONCURRENTLY. The
         # sink write, the two pending-state writes, and the counters/
@@ -482,14 +482,32 @@ class SamplingPipeline:
             return self._write_routed(b, routed)
 
         def job_pending_state():
-            self.store.write(
+            # O(delta) commit: tombstone every touched/evicted key, re-insert
+            # the still-pending rows (upsert = tombstone + same-version
+            # insert, which wins on read — state.py merge-on-read rules).
+            # The reference's in-place cache puts (lru_cache.go:63-71) cost
+            # O(1) per touch; this is the snapshot-isolation equivalent.
+            self.store.write_delta(
                 "pending_state",
                 b,
-                pend_new.observe(pend_obs, F.count(F.lit(1)).alias("n")),
+                prev,
+                inserts=updated.join(evicted_keys, "doc_id", "left_anti"),
+                tombstone_keys=touched.unionByName(evicted_keys),
+                schema=PENDING_STATE_SCHEMA,
             )
 
         def job_pending_spans():
-            self.store.write("pending_spans", b, pend_spans_new)
+            # payload is append-only while pending: new rows insert with NO
+            # tombstone (older payload of the same trace must survive);
+            # terminal/evicted traces tombstone all their rows
+            self.store.write_delta(
+                "pending_spans",
+                b,
+                prev,
+                inserts=new_pending_payload.join(evicted_keys, "doc_id", "left_anti"),
+                tombstone_keys=outcomes.select("doc_id"),
+                schema=PENDING_SPANS_SCHEMA,
+            )
 
         def job_counts():
             # policy_decisions telemetry with the decision_from grouping
@@ -520,62 +538,87 @@ class SamplingPipeline:
             if self.engine.sampled_cache_size == 0 and self.engine.non_sampled_cache_size == 0:
                 # nop decision cache (nop_cache.go:11-40): decisions are
                 # never remembered — late spans of a decided trace
-                # re-evaluate from scratch next batch.
-                dec_new = _empty(self.spark, DECISION_STATE_SCHEMA)
-                tot_s = tot_ns = 0
-            else:
-                ds_counts = {
+                # re-evaluate from scratch next batch. Nothing is ever
+                # inserted, so the resolved chain stays empty.
+                self.store.write_delta(
+                    "decision_state", b, prev,
+                    inserts=_empty(self.spark, DECISION_STATE_SCHEMA),
+                    tombstone_keys=None, schema=DECISION_STATE_SCHEMA,
+                )
+                return 0, 0, dec_ev_age
+            ds_counts = {
+                r["decision"]: r["n"]
+                for r in new_dec_from_spans.groupBy("decision")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            prev_s = meta.get("dec_sampled")
+            prev_ns = meta.get("dec_not_sampled")
+            if prev_s is None or prev_ns is None:  # old checkpoint: count once
+                old = {
                     r["decision"]: r["n"]
-                    for r in new_dec_from_spans.groupBy("decision")
+                    for r in dec_state.groupBy("decision")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
-                prev_s = meta.get("dec_sampled")
-                prev_ns = meta.get("dec_not_sampled")
-                if prev_s is None or prev_ns is None:  # old checkpoint: count once
-                    old = {
-                        r["decision"]: r["n"]
-                        for r in dec_state.groupBy("decision")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    }
-                    prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
-                tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
-                tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
-                if (
-                    tot_s <= self.engine.sampled_cache_size
-                    and tot_ns <= self.engine.non_sampled_cache_size
-                ):
-                    dec_new = dec_mid
-                else:
-                    from .functions.topk import ranked_in_group
+                prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
+            tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
+            tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
+            if (
+                tot_s <= self.engine.sampled_cache_size
+                and tot_ns <= self.engine.non_sampled_cache_size
+            ):
+                # decisions are immutable (first-wins enforced upstream), so
+                # the common under-capacity batch appends O(new decisions)
+                # with zero tombstones — the pure O(delta) commit.
+                self.store.write_delta(
+                    "decision_state", b, prev,
+                    inserts=new_decisions, tombstone_keys=None,
+                    schema=DECISION_STATE_SCHEMA,
+                )
+            else:
+                from .functions.topk import ranked_in_group
 
-                    dranked = ranked_in_group(
-                        dec_mid,
-                        "decision",
-                        [F.desc("decided_batch"), F.desc("doc_id")],
-                        two_level=self.engine.two_level_eviction,
+                dranked = ranked_in_group(
+                    dec_mid,
+                    "decision",
+                    [F.desc("decided_batch"), F.desc("doc_id")],
+                    two_level=self.engine.two_level_eviction,
+                )
+                dcap = F.when(
+                    F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
+                ).otherwise(F.lit(self.engine.non_sampled_cache_size))
+                # overflow rows become tombstones — in steady state the
+                # overflow count per batch ≈ the insert count, so the
+                # commit stays O(delta); only the rank READS the chain.
+                dover = (
+                    dranked.filter(F.col("rn") > dcap)
+                    .select("doc_id", "decision", "decided_batch")
+                    .persist()
+                )
+                # decision_eviction_time (processor.go:665-674): age of
+                # the decisions falling off each cache, in batch units.
+                # Only costs a job on the overflow batch.
+                dec_ev_age = {
+                    r["decision"]: (int(r["n"]), int(r["age"] or 0))
+                    for r in dover.groupBy("decision")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
                     )
-                    dcap = F.when(
-                        F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
-                    ).otherwise(F.lit(self.engine.non_sampled_cache_size))
-                    dec_new = dranked.filter(F.col("rn") <= dcap).drop("rn")
-                    # decision_eviction_time (processor.go:665-674): age of
-                    # the decisions falling off each cache, in batch units.
-                    # Only costs a job on the (rare) overflow batch.
-                    dec_ev_age = {
-                        r["decision"]: (int(r["n"]), int(r["age"] or 0))
-                        for r in dranked.filter(F.col("rn") > dcap)
-                        .groupBy("decision")
-                        .agg(
-                            F.count(F.lit(1)).alias("n"),
-                            F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
-                        )
-                        .collect()
-                    }
-                    tot_s = min(tot_s, self.engine.sampled_cache_size)
-                    tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
-            self.store.write("decision_state", b, dec_new)
+                    .collect()
+                }
+                self.store.write_delta(
+                    "decision_state", b, prev,
+                    inserts=new_decisions.join(
+                        dover.select("doc_id"), "doc_id", "left_anti"
+                    ),
+                    tombstone_keys=dover.select("doc_id"),
+                    schema=DECISION_STATE_SCHEMA,
+                )
+                dover.unpersist()
+                tot_s = min(tot_s, self.engine.sampled_cache_size)
+                tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
             return tot_s, tot_ns, dec_ev_age
 
         def job_counts_then_decisions():
@@ -604,7 +647,7 @@ class SamplingPipeline:
             sampled_traces=n_sampled,
             not_sampled_traces=n_not_sampled,
             evicted_traces=n_evicted,
-            pending_traces=int(pend_obs.get["n"] or 0),
+            pending_traces=n_pending,
         )
         hits = int(cache_stats["hits"] or 0)
         misses = int(cache_stats["n"] or 0) - hits

@@ -7,22 +7,32 @@ published-grammar subset that covers the reference's fixtures
 plus the forms real configs hit immediately beyond them:
 
 * comparisons  ``== != > >= < <=`` over span/spanevent paths and
-  string / numeric / boolean literals;
+  string / numeric / boolean / nil literals;
 * boolean composition ``and`` / ``or`` / ``not`` with parentheses
   (OTTL precedence: ``not`` > ``and`` > ``or``);
-* ``IsMatch(target, "pattern")`` — regex match (validated at parse
-  time; note Spark's ``rlike`` is Java regex vs OTTL's RE2 — the
-  common syntax is identical, lookarounds differ).
+* additive arithmetic ``+`` / ``-`` in operands (the duration idiom
+  ``end_time_unix_nano - start_time_unix_nano > 5000000``);
+* converters ``IsMatch(target, "pattern")`` (regex, validated at parse
+  time; Spark ``rlike`` is Java regex vs OTTL's RE2 — common syntax is
+  identical, lookarounds differ), ``Len(target)`` and
+  ``Substring(target, start, length)`` (0-based start, per
+  ottlfuncs/func_substring.go).
 
 Paths supported per context (the columns the pipeline carries):
-span: ``attributes["k"]``, ``name``; spanevent: ``attributes["k"]``,
-``name``. Anything else is a build-time :class:`PolicyError`, matching
-the reference's fail-to-start behavior on unparsable conditions.
+span: ``attributes["k"]``, ``resource.attributes["k"]``, ``name``,
+``kind``, ``status.code``, ``start_time_unix_nano``,
+``end_time_unix_nano``; spanevent: ``attributes["k"]``, ``name`` plus
+the span-scope paths above (the contrib spanevent context exposes its
+parent span/resource). Anything else is a build-time
+:class:`PolicyError`, matching the reference's fail-to-start behavior
+on unparsable conditions (internal/evaluators/ottl.go:42-120).
 
 Parsing happens at CONFIG time (pure-Python AST, no SparkContext);
 Column construction is deferred to plan build. Missing-value semantics
 follow OTTL comparison rules: a comparison against an absent value is
-false, except ``!=`` which is true (nil is "not equal").
+false, except ``!=`` which is true — and an explicit ``nil`` literal
+compares by PRESENCE: ``attributes["k"] == nil`` is true iff the
+attribute is absent (isNull), ``!= nil`` iff present.
 """
 
 from __future__ import annotations
@@ -41,8 +51,9 @@ from .base import PolicyError
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:[^"\\]|\\.)*")
-      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<number>\d+(?:\.\d+)?)
       | (?P<op>==|!=|>=|<=|>|<)
+      | (?P<addop>[+-])
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<lbracket>\[)
@@ -71,7 +82,9 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 # --------------------------------------------------------------------------
 # AST: ("lit", value) | ("path", [parts]) | ("ismatch", target_ast, pattern)
-#      ("cmp", op, lhs, rhs) | ("and", l, r) | ("or", l, r) | ("not", x)
+#      ("len", target) | ("substr", target, start, length)
+#      ("arith", op, l, r) | ("cmp", op, lhs, rhs)
+#      ("and", l, r) | ("or", l, r) | ("not", x)
 
 
 class _Parser:
@@ -131,6 +144,7 @@ class _Parser:
         return self._maybe_cmp(lhs)
 
     def _maybe_cmp(self, lhs):
+        lhs = self._maybe_arith(lhs)
         if self._peek()[0] == "op":
             op = self._next()[1]
             rhs = self.parse_operand()
@@ -143,13 +157,30 @@ class _Parser:
         raise PolicyError(f"OTTL: expected comparison in {self.src!r}")
 
     def parse_operand(self):
+        # an operand may itself be additive: Len(x) - 1, a + b ...
+        return self._maybe_arith(self._parse_primary())
+
+    def _maybe_arith(self, left):
+        while self._peek()[0] == "addop":
+            op = self._next()[1]
+            left = ("arith", op, left, self._parse_primary())
+        return left
+
+    def _parse_number(self, text: str):
+        return ("lit", float(text) if "." in text else int(text))
+
+    def _parse_primary(self):
         k, v = self._peek()
         if k == "string":
             self._next()
             return ("lit", _unquote(v))
         if k == "number":
             self._next()
-            return ("lit", float(v) if "." in v else int(v))
+            return self._parse_number(v)
+        if k == "addop" and v == "-":  # unary minus on a numeric literal
+            self._next()
+            num = self._parse_number(self._expect("number"))
+            return ("lit", -num[1])
         if k == "ident":
             self._next()
             if v in ("true", "false"):
@@ -169,11 +200,35 @@ class _Parser:
                     ) from exc
                 self._expect("rparen")
                 return ("ismatch", target, pattern)
-            if v == "attributes":
+            if v == "Len":  # ottlfuncs/func_len.go — string length here
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("len", target)
+            if v == "Substring":  # ottlfuncs/func_substring.go (0-based)
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("comma")
+                start = self.parse_operand()
+                self._expect("comma")
+                length = self.parse_operand()
+                self._expect("rparen")
+                for arg, nm in ((start, "start"), (length, "length")):
+                    if not (arg[0] == "lit" and isinstance(arg[1], int)):
+                        raise PolicyError(
+                            f"OTTL: Substring {nm} must be an int literal in {self.src!r}"
+                        )
+                return ("substr", target, start[1], length[1])
+            if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
                 self._expect("rbracket")
-                return ("path", ["attributes", key])
+                return ("path", [v, key])
+            if self._peek()[0] == "lparen":  # Uppercase(...) call syntax
+                raise PolicyError(
+                    f"OTTL: unknown converter {v!r} in {self.src!r} "
+                    "(supported: IsMatch, Len, Substring)"
+                )
             return ("path", [v])
         raise PolicyError(f"OTTL: unexpected token {v!r} in {self.src!r}")
 
@@ -191,10 +246,27 @@ def parse_condition(src: str):
 # --------------------------------------------------------------------------
 # AST → Column
 
-_CTX_PATHS = {
-    "span": {"attributes": "attrs", "name": "name"},
-    "spanevent": {"attributes": "event_attrs", "name": "event_name"},
+# path head → column name; "span scope" paths are visible from the
+# spanevent context too (the contrib spanevent context carries its
+# parent span + resource)
+_SPAN_SCOPE = {
+    "resource.attributes": "resource_attrs",
+    "kind": "kind",
+    "span.kind": "kind",
+    "status.code": "status_id",
+    "start_time_unix_nano": "start_ts",
+    "end_time_unix_nano": "end_ts",
 }
+_CTX_PATHS = {
+    "span": {"attributes": "attrs", "name": "name", **_SPAN_SCOPE},
+    "spanevent": {
+        "attributes": "event_attrs",
+        "name": "event_name",
+        "span.name": "name",
+        **_SPAN_SCOPE,
+    },
+}
+_MAP_HEADS = ("attributes", "resource.attributes")
 
 
 def _path_column(parts: list[str], ctx: str) -> Column:
@@ -202,7 +274,7 @@ def _path_column(parts: list[str], ctx: str) -> Column:
     head = parts[0]
     if head not in paths:
         raise PolicyError(f"unsupported OTTL {ctx} field: {head!r}")
-    if head == "attributes":
+    if head in _MAP_HEADS:
         return F.col(paths[head]).getItem(parts[1])
     return F.col(paths[head])
 
@@ -213,13 +285,38 @@ def _operand_column(ast, ctx: str) -> Column:
         return F.lit(ast[1])
     if kind == "path":
         return _path_column(ast[1], ctx)
+    if kind == "len":
+        # Len() of a missing value is nil in OTTL → NULL column propagates
+        # into the comparison's absent-value rules
+        return F.length(_operand_column(ast[1], ctx).cast("string"))
+    if kind == "substr":
+        target = _operand_column(ast[1], ctx).cast("string")
+        return target.substr(ast[2] + 1, ast[3])  # OTTL 0-based → SQL 1-based
+    if kind == "arith":
+        lc = _numeric_operand(ast[2], ctx)
+        rc = _numeric_operand(ast[3], ctx)
+        return (lc + rc) if ast[1] == "+" else (lc - rc)
     if kind == "ismatch":
         return to_column(ast, ctx)
     raise PolicyError(f"OTTL: invalid operand {ast!r}")
 
 
+def _numeric_operand(ast, ctx: str) -> Column:
+    """Operand coerced for arithmetic: string-typed attr values try_cast
+    to double (non-numeric → NULL → comparison false), numeric columns
+    pass through."""
+    c = _operand_column(ast, ctx)
+    if ast[0] == "path" and ast[1][0] in _MAP_HEADS:
+        return c.try_cast("double")
+    return c
+
+
 def _is_numeric_lit(ast) -> bool:
     return ast[0] == "lit" and isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+
+
+def _is_nil_lit(ast) -> bool:
+    return ast[0] == "lit" and ast[1] is None
 
 
 def to_column(ast, ctx: str) -> Column:
@@ -237,6 +334,16 @@ def to_column(ast, ctx: str) -> Column:
         return F.coalesce(target.rlike(ast[2]), F.lit(False))
     if kind == "cmp":
         op, l, r = ast[1], ast[2], ast[3]
+        # an explicit nil literal compares by PRESENCE (OTTL nil
+        # semantics): `x == nil` is true iff x is absent — NOT the SQL
+        # NULL == NULL → NULL → false trap. Ordering vs nil is false.
+        if _is_nil_lit(r) or _is_nil_lit(l):
+            target = _operand_column(l if _is_nil_lit(r) else r, ctx)
+            if op == "==":
+                return target.isNull()
+            if op == "!=":
+                return target.isNotNull()
+            return F.lit(False)
         lc, rc = _operand_column(l, ctx), _operand_column(r, ctx)
         # numeric comparison against a string-typed attr: try_cast, so a
         # non-numeric value compares false rather than throwing (ANSI on)
@@ -264,9 +371,11 @@ def validate_paths(ast, ctx: str) -> None:
         validate_paths(ast[2], ctx)
     elif kind == "not":
         validate_paths(ast[1], ctx)
-    elif kind == "ismatch":
+    elif kind in ("ismatch", "len"):
         validate_paths(ast[1], ctx)
-    elif kind == "cmp":
+    elif kind == "substr":
+        validate_paths(ast[1], ctx)
+    elif kind in ("cmp", "arith"):
         validate_paths(ast[2], ctx)
         validate_paths(ast[3], ctx)
     elif kind == "path":

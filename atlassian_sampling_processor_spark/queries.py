@@ -405,6 +405,7 @@ def sampling_queries() -> dict[str, tuple]:
         "downgrader_policy": (q_downgrader_policy, SQL_DOWNGRADER),
         "ottl_condition_policy": (q_ottl_policy, SQL_OTTL),
         "ottl_ismatch_policy": (q_ottl_ismatch_policy, SQL_OTTL_ISMATCH),
+        "ottl_wave3_policy": (q_ottl_wave3_policy, SQL_OTTL_WAVE3),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -663,6 +664,59 @@ SQL_OTTL_ISMATCH = """
          CASE WHEN max(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^4')
                               OR TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 87
                             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ottl_wave3_policy(spark, sf_dir):
+    """ottl_condition, wave-3 grammar (policies/ottl.py round 3): span
+    condition exercising ``resource.attributes[...]``, ``kind``,
+    duration arithmetic over the timestamp paths, ``Substring`` and the
+    nil presence check, all compiled through the real OTTLCondition
+    builder (internal/evaluators/ottl.go:42-120 wires these contrib
+    paths; this is the first surface a ported production config hits)."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="wave3",
+        span_conditions=[
+            '(resource.attributes["service.name"] == "error"'
+            " and end_time_unix_nano - start_time_unix_nano > 150000000)"
+            ' or (kind == 2 and Substring(name, 0, 1) == "s"'
+            " and end_time_unix_nano - start_time_unix_nano > 100000000)"
+            ' or attributes["k"] == nil'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(F.lit("service.name"), F.col("event_type")).alias("resource_attrs"),
+        (F.col("event_id") % 4).cast("int").alias("kind"),
+        F.col("event_type").alias("name"),
+        F.lit(0).cast("long").alias("start_ts"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("end_ts"),
+        F.create_map(F.lit("k"), F.get_json_object("props", "$.k")).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+        F.lit(0).cast("int").alias("status_id"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE3 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN
+                  (event_type = 'error'
+                   AND CAST(floor(value * 1000000) AS BIGINT) - 0 > 150000000)
+               OR (event_id % 4 = 2 AND substr(event_type, 1, 1) = 's'
+                   AND CAST(floor(value * 1000000) AS BIGINT) - 0 > 100000000)
+               OR json_extract_string(props, '$.k') IS NULL
+             THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id
 """

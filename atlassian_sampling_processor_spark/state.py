@@ -1,24 +1,48 @@
 """Checkpointed state tables (FIXTURES.md §6) — the Spark mapping of the
 reference's four LRU caches (processor.go:53-59, DESIGN.md:110-138).
 
-Layout: ``{ckpt}/{table}/v={batch}/*.parquet`` plus an atomically-renamed
-``LATEST`` marker per table, committed only after every table of a batch
-is durable — so a kill between micro-batches resumes from the last fully
-committed batch (the reference's decision-span flush/re-ingest
-resumability story, DESIGN.md:148-167, done with snapshots instead).
+Delta-shaped commits (round 3): the reference mutates its caches in
+place (internal/cache/lru_cache.go:63-71), so its per-put cost is O(1);
+a naive Spark translation rewrites every state table in full each batch
+— O(capacity) writes, hopeless at the reference-realistic 10^7–10^8
+decision-cache sizes (README.md:65-77). This store instead keeps each
+table as a merge-on-read chain:
 
-On a production cluster these tables are Iceberg with snapshot commits
-and bucketed layout on ``doc_id`` (co-partitioned state joins); plain
-parquet keeps the sandbox dependency-free while preserving identical
-semantics.
+    {ckpt}/{table}/base/v={B}/*.parquet     full snapshot (compaction)
+    {ckpt}/{table}/delta/v={b}/*.parquet    per-batch delta, b > B
+
+A delta file holds the batch's *inserted rows* (``_deleted=false``) and
+*tombstoned keys* (``_deleted=true``, key column only).  ``read``
+resolves the chain lazily: union(base, deltas) with a per-part ``_v``
+version column, then an anti-ish join against the aggregated tombstone
+set (tiny — O(K·delta) keys, broadcast by AQE) keeps a row iff no
+tombstone for its key has a strictly newer version (``_v >= _tv``; an
+upsert writes tombstone+insert at the same version, so the fresh row
+survives its own tombstone).  Every ``compact_every`` batches the chain
+is folded into a new base — O(capacity) once per K batches, i.e.
+amortized O(capacity/K) — exactly the Iceberg MERGE-on-read + periodic
+rewrite shape; on a production cluster these directories ARE an Iceberg
+table and the delta write is a ``MERGE INTO`` snapshot commit.
+
+Atomicity is unchanged: an atomically-renamed ``LATEST`` marker commits
+all tables of a batch at once, so a kill mid-batch leaves only
+uncommitted ``v=`` directories that the next (idempotent, deterministic)
+replay overwrites — the reference's decision-span flush/re-ingest
+resumability story (DESIGN.md:148-167) done with snapshots.
+
+Legacy layout ``{table}/v={b}`` (round-1/2 checkpoints, the metrics log
+table, flush()'s empty rewrites) reads as a base of the chain, so old
+checkpoints resume and per-batch metrics stay per-batch.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PENDING_STATE_SCHEMA = T.StructType(
@@ -57,11 +81,39 @@ METRICS_SCHEMA = T.StructType(
 
 TABLES = ("pending_state", "pending_spans", "decision_state", "metrics")
 
+_DEL = "_deleted"
+_V = "_v"
+
+
+def _field_names(schema) -> list[str]:
+    """Column names from a StructType or a DDL schema string."""
+    if hasattr(schema, "fieldNames"):
+        return schema.fieldNames()
+    return T.StructType.fromDDL(schema).fieldNames()
+
+
+def _list_versions(d: str) -> dict[int, str]:
+    """``{v: path}`` for ``v=N`` subdirectories of ``d`` (missing → {})."""
+    out: dict[int, str] = {}
+    try:
+        for name in os.listdir(d):
+            if name.startswith("v="):
+                try:
+                    out[int(name[2:])] = os.path.join(d, name)
+                except ValueError:
+                    pass
+    except FileNotFoundError:
+        pass
+    return out
+
 
 class StateStore:
-    def __init__(self, spark: SparkSession, ckpt_dir: str):
+    def __init__(self, spark: SparkSession, ckpt_dir: str, compact_every: int = 8):
         self.spark = spark
         self.dir = ckpt_dir
+        # chain length that triggers folding deltas into a new base;
+        # <=1 degenerates to a full rewrite per batch (the round-2 shape)
+        self.compact_every = max(1, compact_every)
         os.makedirs(ckpt_dir, exist_ok=True)
 
     # -- commit protocol ----------------------------------------------------
@@ -91,20 +143,164 @@ class StateStore:
             json.dump({"batch": batch, "meta": meta or {}}, f)
         os.replace(tmp, self._marker())  # atomic
 
-    # -- table IO -------------------------------------------------------------
+    # -- chain layout -------------------------------------------------------
 
     def _path(self, table: str, batch: int) -> str:
+        """Legacy full-table path (metrics log, flush, old checkpoints)."""
         return os.path.join(self.dir, table, f"v={batch}")
 
+    def _base_path(self, table: str, batch: int) -> str:
+        return os.path.join(self.dir, table, "base", f"v={batch}")
+
+    def _delta_path(self, table: str, batch: int) -> str:
+        return os.path.join(self.dir, table, "delta", f"v={batch}")
+
+    def _chain(self, table: str, batch: int) -> tuple[tuple[int, str] | None, list[tuple[int, str]]]:
+        """(base, deltas) visible at committed version ``batch``.
+
+        Bases are compaction snapshots plus legacy full writes; deltas are
+        the delta versions in (base, batch]. Directories with v > batch
+        (crashed, uncommitted writes) are invisible — replay overwrites
+        them deterministically.
+        """
+        tdir = os.path.join(self.dir, table)
+        bases = dict(_list_versions(tdir))  # legacy full tables
+        bases.update(_list_versions(os.path.join(tdir, "base")))  # compactions win ties
+        bv = max((v for v in bases if v <= batch), default=None)
+        base = (bv, bases[bv]) if bv is not None else None
+        deltas = sorted(
+            (v, p)
+            for v, p in _list_versions(os.path.join(tdir, "delta")).items()
+            if v <= batch and (bv is None or v > bv)
+        )
+        return base, deltas
+
+    # -- write --------------------------------------------------------------
+
     def write(self, table: str, batch: int, df: DataFrame) -> None:
+        """Full (legacy/base-equivalent) write — O(rows). Used for the
+        per-batch metrics log and flush()'s state reset; state tables go
+        through write_delta."""
+        shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
         df.write.mode("overwrite").parquet(self._path(table, batch))
 
+    def write_delta(
+        self,
+        table: str,
+        batch: int,
+        prev: int | None,
+        inserts: DataFrame,
+        tombstone_keys: DataFrame | None,
+        schema: T.StructType,
+        key: str = "doc_id",
+    ) -> None:
+        """Commit batch ``batch`` as an O(delta) write: ``inserts`` rows
+        plus ``tombstone_keys`` (keys whose prior rows die; an upserted key
+        appears in BOTH — the same-version insert wins). Compacts the
+        chain into a new base snapshot every ``compact_every`` batches.
+        """
+        cols = _field_names(schema)
+        ins = inserts.select(*cols)
+        _, deltas = self._chain(table, prev) if prev is not None else (None, [])
+        if len(deltas) + 1 >= self.compact_every:
+            # fold the chain + this delta into a fresh base: O(capacity),
+            # amortized over compact_every batches (Iceberg rewrite step)
+            cur = self.read(table, prev, schema)
+            if tombstone_keys is not None:
+                cur = cur.join(tombstone_keys.select(key).distinct(), key, "left_anti")
+            live = cur.unionByName(ins)
+            shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
+            shutil.rmtree(self._path(table, batch), ignore_errors=True)
+            live.write.mode("overwrite").parquet(self._base_path(table, batch))
+            return
+        delta = ins.withColumn(_DEL, F.lit(False))
+        if tombstone_keys is not None:
+            tomb = tombstone_keys.select(F.col(key)).distinct().withColumn(_DEL, F.lit(True))
+            delta = delta.unionByName(tomb, allowMissingColumns=True)
+        # a crashed compaction may have left an uncommitted base at this
+        # version — remove it so chain discovery can't resurrect it
+        shutil.rmtree(self._base_path(table, batch), ignore_errors=True)
+        shutil.rmtree(self._path(table, batch), ignore_errors=True)
+        delta.write.mode("overwrite").parquet(self._delta_path(table, batch))
+
+    # -- read ---------------------------------------------------------------
+
     def read(self, table: str, batch: int | None, schema: T.StructType | None = None) -> DataFrame | None:
-        """Table at version ``batch``; None/missing → empty-with-schema or None."""
+        """Live rows of ``table`` as of committed version ``batch``
+        (time-travel: any committed version resolves, not just the
+        latest). None/missing → empty-with-schema or None."""
         if batch is not None:
             p = self._path(table, batch)
-            if os.path.isdir(p):
+            if os.path.isdir(p):  # exact legacy/full version — fast path
                 return self.spark.read.parquet(p)
+            bp = self._base_path(table, batch)
+            if os.path.isdir(bp):
+                return self.spark.read.parquet(bp)
+            base, deltas = self._chain(table, batch)
+            if base is not None or deltas:
+                return self._resolve(base, deltas, schema, key="doc_id")
         if schema is not None:
             return self.spark.createDataFrame([], schema=schema)
         return None
+
+    def _resolve(
+        self,
+        base: tuple[int, str] | None,
+        deltas: list[tuple[int, str]],
+        schema: T.StructType | None,
+        key: str,
+    ) -> DataFrame:
+        """Merge-on-read: a row is live iff no tombstone for its key is
+        strictly newer (``_v >= _tv``). The tombstone side is O(chain
+        delta keys) — tiny next to the base — so the join broadcasts; a
+        chain with no tombstones costs just the union scan."""
+        parts = []
+        if base is not None:
+            bv, bpath = base
+            parts.append(
+                self.spark.read.parquet(bpath)
+                .withColumn(_V, F.lit(bv))
+                .withColumn(_DEL, F.lit(False))
+            )
+        for v, p in deltas:
+            df = self.spark.read.parquet(p)
+            if _DEL not in df.columns:  # legacy delta-less dir safety
+                df = df.withColumn(_DEL, F.lit(False))
+            parts.append(df.withColumn(_V, F.lit(v)))
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p, allowMissingColumns=True)
+        tomb = (
+            data.filter(F.col(_DEL))
+            .groupBy(key)
+            .agg(F.max(_V).alias("_tv"))
+        )
+        live = (
+            data.filter(~F.col(_DEL))
+            .join(tomb, key, "left")
+            .filter(F.col("_tv").isNull() | (F.col(_V) >= F.col("_tv")))
+            .drop(_V, _DEL, "_tv")
+        )
+        if schema is not None:
+            live = live.select(*_field_names(schema))
+        return live
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, table: str, committed: int) -> None:
+        """Best-effort removal of chain segments shadowed by the newest
+        base at or before ``committed``. Optional — time-travel reads of
+        older versions stop working for vacuumed segments. Never touches
+        versions > ``committed``."""
+        base, _ = self._chain(table, committed)
+        if base is None:
+            return
+        bv, _ = base
+        tdir = os.path.join(self.dir, table)
+        for v, p in list(_list_versions(os.path.join(tdir, "delta")).items()):
+            if v <= bv:
+                shutil.rmtree(p, ignore_errors=True)
+        for sub in ("", "base"):
+            for v, p in list(_list_versions(os.path.join(tdir, sub) if sub else tdir).items()):
+                if v < bv:
+                    shutil.rmtree(p, ignore_errors=True)

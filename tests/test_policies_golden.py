@@ -227,7 +227,8 @@ SPAN_SCHEMA = (
     "doc_id string, trace_hi long, trace_lo long, start_ts long, end_ts long,"
     " status_id int, threshold_len int, threshold_value long, is_root boolean,"
     " source string, name string, attrs map<string,string>,"
-    " event_name string, event_attrs map<string,string>"
+    " event_name string, event_attrs map<string,string>,"
+    " resource_attrs map<string,string>, kind int"
 )
 
 
@@ -247,6 +248,8 @@ def span_row(**over):
         attrs={},
         event_name=None,
         event_attrs=None,
+        resource_attrs={"service.name": "svc"},
+        kind=1,
     )
     base.update(over)
     return base
@@ -350,7 +353,58 @@ def test_ottl_widened_build_errors():
         OTTLCondition(name="o", span_conditions=['IsMatch(name, "([")'])
     with pytest.raises(PolicyError):
         OTTLCondition(name="o", span_conditions=['attributes["a"] == '])  # dangling op
-    with pytest.raises(PolicyError):  # unsupported path shape
-        OTTLCondition(name="o", span_conditions=['resource.attributes["a"] == "1"'])
     with pytest.raises(PolicyError, match="unsupported OTTL span field"):
-        OTTLCondition(name="o", span_conditions=['kind == "SPAN_KIND_SERVER"'])
+        OTTLCondition(name="o", span_conditions=['span.events == "x"'])
+    with pytest.raises(PolicyError, match="unknown converter"):
+        OTTLCondition(name="o", span_conditions=['Duration(name) > 5'])
+    with pytest.raises(PolicyError, match="must be an int literal"):
+        OTTLCondition(name="o", span_conditions=['Substring(name, "a", 2) == "x"'])
+
+
+# --- OTTL wave 3 (internal/evaluators/ottl.go:42-120 wires the full
+# contrib grammar; these are the paths/converters a production config
+# hits first beyond the round-2 subset) ---------------------------------------
+
+@pytest.mark.parametrize(
+    "span_conds,spans,expected",
+    [
+        # resource.attributes (the #1 gap a ported config hits)
+        (['resource.attributes["service.name"] == "svc"'], [dict()], D.SAMPLED),
+        (['resource.attributes["service.name"] == "other"'], [dict()], D.PENDING),
+        (['IsMatch(resource.attributes["service.name"], "^sv.*")'], [dict()], D.SAMPLED),
+        # span kind (int enum: INTERNAL=1 SERVER=2 CLIENT=3)
+        (["kind == 2"], [dict(kind=2)], D.SAMPLED),
+        (["kind == 2"], [dict(kind=3)], D.PENDING),
+        (["span.kind == 3"], [dict(kind=3)], D.SAMPLED),
+        # status.code path (UNSET=0 OK=1 ERROR=2)
+        (["status.code == 2"], [dict(status_id=2)], D.SAMPLED),
+        (["status.code != 0"], [dict(status_id=0)], D.PENDING),
+        # duration arithmetic over the timestamp paths
+        (
+            ["end_time_unix_nano - start_time_unix_nano > 5000000"],
+            [dict(start_ts=1_000_000_000, end_ts=1_010_000_000)],
+            D.SAMPLED,
+        ),
+        (
+            ["end_time_unix_nano - start_time_unix_nano > 5000000"],
+            [dict(start_ts=1_000_000_000, end_ts=1_001_000_000)],
+            D.PENDING,
+        ),
+        # converters
+        (["Len(name) == 9"], [dict(name="span-name")], D.SAMPLED),
+        (["Len(name) > 99"], [dict(name="span-name")], D.PENDING),
+        (['Len(attributes["k"]) == 3'], [dict(attrs={})], D.PENDING),  # nil → false
+        (['Substring(name, 0, 4) == "span"'], [dict(name="span-name")], D.SAMPLED),
+        (['Substring(name, 5, 4) == "name"'], [dict(name="span-name")], D.SAMPLED),
+        # nil literal = presence check (OTTL nil semantics, NOT SQL NULL)
+        (['attributes["k"] == nil'], [dict(attrs={})], D.SAMPLED),
+        (['attributes["k"] == nil'], [dict(attrs={"k": "v"})], D.PENDING),
+        (['attributes["k"] != nil'], [dict(attrs={"k": "v"})], D.SAMPLED),
+        (['attributes["k"] != nil'], [dict(attrs={})], D.PENDING),
+        (['nil == attributes["k"]'], [dict(attrs={})], D.SAMPLED),  # symmetric
+        (['attributes["k"] > nil'], [dict(attrs={"k": "v"})], D.PENDING),  # order vs nil = false
+    ],
+)
+def test_ottl_wave3_golden(spark, span_conds, spans, expected):
+    pol = OTTLCondition(name="ottl_w3", span_conditions=span_conds)
+    assert eval_ottl(spark, pol, spans) == expected
