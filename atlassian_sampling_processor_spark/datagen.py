@@ -32,6 +32,7 @@ def generate_span_arrays(
     threshold_frac: float = 0.3,
     error_frac: float = 0.08,
     decision_span_frac: float = 0.0,
+    hot_trace_frac: float = 0.0,
 ) -> dict[str, np.ndarray]:
     """Generate span-level numpy columns for ``n_traces`` traces."""
     rng = np.random.default_rng(seed)
@@ -110,6 +111,18 @@ def generate_span_arrays(
     batch_idx = np.minimum(base_batch[trace_idx] + within, n_batches - 1).astype(np.int32)
 
     n_filler = rng.integers(0, filler_tokens + 1, size=n, dtype=np.int32)
+
+    # hot-trace skew knob (north rule's skew clause): reassign a fraction
+    # of ALL spans to trace 0, spread over every batch — one doc_id then
+    # carries hot_trace_frac of the corpus, the single-key skew that a
+    # plain hash-partitioned agg serializes into one task and the
+    # two-phase salted agg (functions/skew.py) flattens.
+    if hot_trace_frac > 0:
+        k = max(1, int(n * hot_trace_frac))
+        hot_rows = rng.choice(n, size=k, replace=False)
+        trace_idx[hot_rows] = 0
+        batch_idx[hot_rows] = rng.integers(0, n_batches, size=k)
+        source_id = source_per_trace[trace_idx]
 
     return {
         "trace_idx": trace_idx,

@@ -222,13 +222,19 @@ SQL_DOC_LENGTH_QUANTILES = """
 # The 64-bit signature is kept as two 32-bit halves (slo = bits 0-31,
 # shi = bits 32-63): every intermediate stays in [0, 2^32), so no
 # signed-overflow anywhere under ANSI mode in Spark and no HUGEINT in
-# DuckDB. Pigeonhole banding: hamming <= 7 over 64 bits ⇒ at least one
-# of the 8 byte-chunks is equal, so an equi-join on (chunk_idx, chunk
+# DuckDB. Pigeonhole banding: hamming <= 3 over 64 bits ⇒ at least one
+# of the 4 16-bit chunks is equal, so an equi-join on (chunk_idx, chunk
 # value) is a lossless candidate generator — same argument as the
-# 16-bit operator, with byte chunks selective enough for real corpora.
+# 16-bit demo operator, now at production width. Chunk width matters:
+# 8-bit chunks (ham <= 7) measured a 32% candidate ratio on sf0.1
+# (simhash bits are word-frequency-biased, so coarse buckets collide);
+# 16-bit chunks keep the bucket join selective (tools/measure_recall.py
+# records the measured ratio).
 
-SIMHASH64_HAM_MAX = 7
-SIMHASH64_CHUNKS = SIMHASH64_HAM_MAX + 1  # 8 chunks × 8 bits
+SIMHASH64_HAM_MAX = 3
+SIMHASH64_CHUNKS = SIMHASH64_HAM_MAX + 1  # 4 chunks × 16 bits
+SIMHASH64_CHUNK_BITS = 16
+SIMHASH64_CHUNK_MASK = (1 << SIMHASH64_CHUNK_BITS) - 1
 
 
 def _simhash64(spark, sf_dir) -> DataFrame:
@@ -269,8 +275,10 @@ def q_simhash64_pairs(spark, sf_dir) -> DataFrame:
     s = _simhash64(spark, sf_dir).cache()
 
     def chunk(i: int):
-        col = "slo" if i < 4 else "shi"
-        return F.shiftright(F.col(col), 8 * (i % 4)).bitwiseAND(F.lit(0xFF))
+        col = "slo" if i < 2 else "shi"
+        return F.shiftright(F.col(col), SIMHASH64_CHUNK_BITS * (i % 2)).bitwiseAND(
+            F.lit(SIMHASH64_CHUNK_MASK)
+        )
 
     t = s.select(
         "doc_id",

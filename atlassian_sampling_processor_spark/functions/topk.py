@@ -43,6 +43,11 @@ def ranked_in_group(
     )
     w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
     local = parted.withColumn("_lrn", F.row_number().over(w)).persist()
+    # the offset table is one row per (group × partition) — fine for the
+    # current uses (2 tiers, ~20 sources, 2 decision kinds). At very
+    # large group cardinality this collect should stay distributed: a
+    # window over the per-partition counts (sum over _pid < this _pid
+    # within group) yields the same offsets with no driver round-trip.
     counts = (
         local.groupBy(group_col, "_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     )

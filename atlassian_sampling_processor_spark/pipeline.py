@@ -178,6 +178,7 @@ class SamplingPipeline:
 
     def process_batch(self, raw_batch: DataFrame, b: int) -> BatchResult:
         prof = _Prof(b)
+        t_batch0 = time.perf_counter()
         prev = self.store.last_committed_batch()
         pend_state = self.store.read("pending_state", prev, PENDING_STATE_SCHEMA)
         pend_spans = self.store.read("pending_spans", prev, PENDING_SPANS_SCHEMA)
@@ -663,6 +664,7 @@ class SamplingPipeline:
                 internal_errors=sink_counts["interr"],
                 ev_age=ev_age,
                 dec_ev_age=dec_ev_age,
+                batch_wall_ms=int((time.perf_counter() - t_batch0) * 1000),
             ),
         )
         prof.mark("metrics_write")
@@ -687,6 +689,7 @@ class SamplingPipeline:
         internal_errors: int = 0,
         ev_age: dict | None = None,
         dec_ev_age: dict | None = None,
+        batch_wall_ms: int = 0,
     ) -> DataFrame:
         """Per-batch metrics table mirroring the reference's counters
         (documentation.md:9-79; emission sites per BASELINE.md). Built
@@ -717,6 +720,12 @@ class SamplingPipeline:
             # internal_error_dropped_spans (processor.go:676-680): rows the
             # decoder rejected (routed to drop with reason=internal_error)
             (b, "internal_error_dropped_spans", {}, internal_errors),
+            # chan_blocking_time analogue (documentation.md:17-23): the
+            # reference histograms time spans wait on shard channels; the
+            # Spark engine has no channels, so the closest honest signal
+            # is the batch's end-to-end wall — the queueing delay the
+            # NEXT arrival slice experiences.
+            (b, "batch_wall_time_ms", {}, batch_wall_ms),
         ]
         # trace_eviction_time (processor.go:653-663): summed eviction age in
         # BATCH units per cache tier (the reference records wall seconds per
