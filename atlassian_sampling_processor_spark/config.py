@@ -267,6 +267,7 @@ def load_config(path_or_dict,
         flush_on_shutdown=bool(cfg.get("flush_on_shutdown", False)),
         preprocess_buffer_size=int(cfg.get("preprocess_buffer_size", 0)),
         two_level_eviction=bool(cfg.get("two_level_eviction", False)),
+        state_compact_every=int(cfg.get("state_compact_every", 8)),
     )
     validate_engine(eng)
     pols = parse_policies(cfg.get("sampling_policies", cfg.get("policies", [])), rate_getters)

@@ -14,9 +14,13 @@ plus the forms real configs hit immediately beyond them:
   ``end_time_unix_nano - start_time_unix_nano > 5000000``);
 * converters ``IsMatch(target, "pattern")`` (regex, validated at parse
   time; Spark ``rlike`` is Java regex vs OTTL's RE2 — common syntax is
-  identical, lookarounds differ), ``Len(target)`` and
+  identical, lookarounds differ), ``Len(target)``,
   ``Substring(target, start, length)`` (0-based start, per
-  ottlfuncs/func_substring.go).
+  ottlfuncs/func_substring.go), ``ConvertCase(target, "upper"|"lower")``,
+  ``Concat([a, b, ...], "delim")`` (nil parts skipped, concat_ws
+  semantics), and the cast converters ``Int``/``Double``/``String``
+  (``Int``/``Double`` are try-casts: a non-numeric value becomes nil,
+  which the comparison rules then treat as absent).
 
 Paths supported per context (the columns the pipeline carries):
 span: ``attributes["k"]``, ``resource.attributes["k"]``, ``name``,
@@ -83,6 +87,8 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 # --------------------------------------------------------------------------
 # AST: ("lit", value) | ("path", [parts]) | ("ismatch", target_ast, pattern)
 #      ("len", target) | ("substr", target, start, length)
+#      ("case", target, "upper"|"lower") | ("concat", [targets], delim)
+#      ("cast", "long"|"double"|"string", target)
 #      ("arith", op, l, r) | ("cmp", op, lhs, rhs)
 #      ("and", l, r) | ("or", l, r) | ("not", x)
 
@@ -219,6 +225,36 @@ class _Parser:
                             f"OTTL: Substring {nm} must be an int literal in {self.src!r}"
                         )
                 return ("substr", target, start[1], length[1])
+            if v == "ConvertCase":  # ottlfuncs/func_convert_case.go
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("comma")
+                mode = _unquote(self._expect("string")).lower()
+                if mode not in ("upper", "lower"):
+                    raise PolicyError(
+                        f"OTTL: ConvertCase mode {mode!r} unsupported "
+                        f"(upper/lower) in {self.src!r}"
+                    )
+                self._expect("rparen")
+                return ("case", target, mode)
+            if v == "Concat":  # ottlfuncs/func_concat.go: Concat([...], delim)
+                self._expect("lparen")
+                self._expect("lbracket")
+                targets = [self.parse_operand()]
+                while self._peek()[0] == "comma":
+                    self._next()
+                    targets.append(self.parse_operand())
+                self._expect("rbracket")
+                self._expect("comma")
+                delim = _unquote(self._expect("string"))
+                self._expect("rparen")
+                return ("concat", targets, delim)
+            if v in ("Int", "Double", "String"):  # cast converters
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                typ = {"Int": "long", "Double": "double", "String": "string"}[v]
+                return ("cast", typ, target)
             if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
@@ -227,7 +263,8 @@ class _Parser:
             if self._peek()[0] == "lparen":  # Uppercase(...) call syntax
                 raise PolicyError(
                     f"OTTL: unknown converter {v!r} in {self.src!r} "
-                    "(supported: IsMatch, Len, Substring)"
+                    "(supported: IsMatch, Len, Substring, ConvertCase, "
+                    "Concat, Int, Double, String)"
                 )
             return ("path", [v])
         raise PolicyError(f"OTTL: unexpected token {v!r} in {self.src!r}")
@@ -292,6 +329,17 @@ def _operand_column(ast, ctx: str) -> Column:
     if kind == "substr":
         target = _operand_column(ast[1], ctx).cast("string")
         return target.substr(ast[2] + 1, ast[3])  # OTTL 0-based → SQL 1-based
+    if kind == "case":
+        target = _operand_column(ast[1], ctx).cast("string")
+        return F.upper(target) if ast[2] == "upper" else F.lower(target)
+    if kind == "concat":
+        parts = [_operand_column(t, ctx).cast("string") for t in ast[1]]
+        return F.concat_ws(ast[2], *parts)
+    if kind == "cast":
+        target = _operand_column(ast[2], ctx)
+        if ast[1] == "string":
+            return target.cast("string")
+        return target.try_cast(ast[1])  # Int/Double: non-numeric → nil
     if kind == "arith":
         lc = _numeric_operand(ast[2], ctx)
         rc = _numeric_operand(ast[3], ctx)
@@ -371,10 +419,13 @@ def validate_paths(ast, ctx: str) -> None:
         validate_paths(ast[2], ctx)
     elif kind == "not":
         validate_paths(ast[1], ctx)
-    elif kind in ("ismatch", "len"):
+    elif kind in ("ismatch", "len", "substr", "case"):
         validate_paths(ast[1], ctx)
-    elif kind == "substr":
-        validate_paths(ast[1], ctx)
+    elif kind == "cast":
+        validate_paths(ast[2], ctx)
+    elif kind == "concat":
+        for t in ast[1]:
+            validate_paths(t, ctx)
     elif kind in ("cmp", "arith"):
         validate_paths(ast[2], ctx)
         validate_paths(ast[3], ctx)

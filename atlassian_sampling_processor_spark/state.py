@@ -241,6 +241,9 @@ class StateStore:
             if os.path.isdir(bp):
                 return self.spark.read.parquet(bp)
             base, deltas = self._chain(table, batch)
+            if base is not None and not deltas:  # post-compaction: plain scan
+                df = self.spark.read.parquet(base[1])
+                return df.select(*_field_names(schema)) if schema is not None else df
             if base is not None or deltas:
                 return self._resolve(base, deltas, schema, key="doc_id")
         if schema is not None:

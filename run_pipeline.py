@@ -28,6 +28,12 @@ def main(argv=None):
     ap.add_argument("--batches", type=int, default=None)
     ap.add_argument("--flush", action="store_true", help="shutdown flush after the run")
     ap.add_argument("--streaming", action="store_true", help="consume --input as a file stream")
+    ap.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="after the run, drop state-chain segments shadowed by the newest "
+        "base snapshot (long-running jobs; disables time-travel to vacuumed versions)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +61,11 @@ def main(argv=None):
     }
     if args.flush:
         out["flush"] = pipe.flush()
+    if args.vacuum:
+        last = pipe.store.last_committed_batch()
+        if last is not None:
+            for table in ("pending_state", "pending_spans", "decision_state"):
+                pipe.store.vacuum(table, last)
     print(json.dumps(out))
     return 0
 

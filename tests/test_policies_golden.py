@@ -408,3 +408,43 @@ def test_ottl_widened_build_errors():
 def test_ottl_wave3_golden(spark, span_conds, spans, expected):
     pol = OTTLCondition(name="ottl_w3", span_conditions=span_conds)
     assert eval_ottl(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "span_conds,spans,expected",
+    [
+        # ConvertCase (ottlfuncs/func_convert_case.go)
+        (['ConvertCase(name, "upper") == "SPAN-NAME"'], [dict()], D.SAMPLED),
+        (['ConvertCase(attributes["k"], "lower") == "abc"'], [dict(attrs={"k": "AbC"})], D.SAMPLED),
+        (['ConvertCase(attributes["k"], "lower") == "abc"'], [dict(attrs={})], D.PENDING),
+        # Concat over mixed literal/path parts (concat_ws: nil parts skipped)
+        (
+            ['Concat([name, attributes["k"]], "-") == "span-name-v1"'],
+            [dict(attrs={"k": "v1"})],
+            D.SAMPLED,
+        ),
+        (
+            ['Concat([name, attributes["k"]], "-") == "span-name"'],
+            [dict(attrs={})],  # nil part skipped, no trailing delim
+            D.SAMPLED,
+        ),
+        # cast converters: Int/Double try-cast (non-numeric → nil → false)
+        (['Int(attributes["n"]) == 7'], [dict(attrs={"n": "7"})], D.SAMPLED),
+        (['Int(attributes["n"]) == 7'], [dict(attrs={"n": "x"})], D.PENDING),
+        (['Double(attributes["n"]) > 1.5'], [dict(attrs={"n": "1.75"})], D.SAMPLED),
+        (['String(kind) == "2"'], [dict(kind=2)], D.SAMPLED),
+        # converters compose
+        (['Len(Concat([name, name], "")) == 18'], [dict()], D.SAMPLED),
+        (['IsMatch(ConvertCase(name, "upper"), "^SPAN")'], [dict()], D.SAMPLED),
+    ],
+)
+def test_ottl_wave4_converters_golden(spark, span_conds, spans, expected):
+    pol = OTTLCondition(name="ottl_w4", span_conditions=span_conds)
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+def test_ottl_wave4_build_errors():
+    with pytest.raises(PolicyError, match="ConvertCase mode"):
+        OTTLCondition(name="o", span_conditions=['ConvertCase(name, "snake") == "x"'])
+    with pytest.raises(PolicyError, match="unknown converter"):
+        OTTLCondition(name="o", span_conditions=['Truncate(name, 3) == "spa"'])

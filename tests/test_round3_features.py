@@ -157,6 +157,39 @@ def test_delta_commits_are_delta_sized(spark, tmp_path):
     assert trace_id(1000) not in {r.doc_id for r in resolved.collect()}
 
 
+def test_vacuum_preserves_latest_state(spark, tmp_path):
+    """vacuum() removes chain segments shadowed by the newest base but
+    never touches anything needed to resolve the committed version —
+    the operational GC for long runs (Iceberg expire_snapshots
+    analogue)."""
+    import os
+
+    spans = _spans_multi_batch()
+    # compact_every=2 ⇒ bases exist mid-run, old deltas become shadowed
+    pipe = _mk(spark, tmp_path, "vac", primary_cache_size=6, state_compact_every=2)
+    want = _run_all(pipe, spark, spans)
+    last = pipe.store.last_committed_batch()
+    before = sum(len(files) for _, _, files in os.walk(str(tmp_path / "vac" / "ck")))
+    for t in ("pending_state", "pending_spans", "decision_state"):
+        pipe.store.vacuum(t, last)
+    after = sum(len(files) for _, _, files in os.walk(str(tmp_path / "vac" / "ck")))
+    assert after < before  # something was actually reclaimed
+    # resolved state at the committed version is untouched
+    assert sorted(
+        r.doc_id for r in pipe.store.read("pending_state", last).collect()
+    ) == want["pending"]
+    assert sorted(
+        (r.doc_id, r.decision) for r in pipe.store.read("decision_state", last).collect()
+    ) == want["decisions"]
+    # and the pipeline can continue committing on top of the vacuumed chain
+    extra = [dict(doc_id=trace_id(399), span_id=90, batch_idx=last + 1),
+             dict(doc_id=trace_id(399), span_id=91, batch_idx=last + 1)]
+    pipe.run(seq_table_from_spans(spark, spans + extra))
+    dec = {r.doc_id for r in pipe.store.read(
+        "decision_state", pipe.store.last_committed_batch()).collect()}
+    assert trace_id(399) in dec  # new 2-span trace sampled post-vacuum
+
+
 def test_remote_probabilistic_rate_refresh(spark, tmp_path):
     """Rate getter re-consulted each batch: 100% → sampled, 0% → pending,
     getter exception → default_rate fallback
