@@ -347,6 +347,56 @@ def _sql_simhash64_pairs() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# 6. BPE-ish token counting (round 3): subword-granularity token estimate
+# via a tokenizer-shaped regex — letter runs, single digits, single
+# punctuation marks — the pre-merge alphabet a byte-pair encoder starts
+# from, so counts upper-bound real BPE vocab counts the way practitioners
+# budget corpus token costs. Pattern sticks to the regex syntax common to
+# Java (Spark rlike family) and RE2/DuckDB. Whitespace counts
+# (token_count_by_source, dataops.py) remain the word-level metric.
+
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def q_token_count_bpe(spark, sf_dir) -> DataFrame:
+    from .dataops import _word_count
+
+    d = docs(spark, sf_dir).select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias("bpe"),
+        _word_count(F.col("text")).alias("ws"),
+    )
+    agg = d.groupBy("source").agg(
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.select(
+        "source",
+        "bpe_tokens",
+        "ws_tokens",
+        "n_docs",
+        F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6).alias("tokens_per_word"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+  WITH d AS (
+    SELECT source,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe,
+           len(text) - len(replace(text, ' ', '')) + 1 AS ws
+    FROM documents
+  )
+  SELECT source,
+         CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS tokens_per_word
+  FROM d GROUP BY source
+"""
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
@@ -354,4 +404,5 @@ def dataops2_queries() -> dict[str, tuple]:
         "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
         "dedup_simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
+        "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     }

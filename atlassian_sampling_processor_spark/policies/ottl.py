@@ -293,6 +293,10 @@ _SPAN_SCOPE = {
     "status.code": "status_id",
     "start_time_unix_nano": "start_ts",
     "end_time_unix_nano": "end_ts",
+    # contrib id-to-hex paths: trace id IS the doc_id column (32-hex);
+    # span_id.string renders the 64-bit id as 16-hex lazily
+    "trace_id.string": "doc_id",
+    "span_id.string": "__span_id_hex__",
 }
 _CTX_PATHS = {
     "span": {"attributes": "attrs", "name": "name", **_SPAN_SCOPE},
@@ -313,6 +317,8 @@ def _path_column(parts: list[str], ctx: str) -> Column:
         raise PolicyError(f"unsupported OTTL {ctx} field: {head!r}")
     if head in _MAP_HEADS:
         return F.col(paths[head]).getItem(parts[1])
+    if paths[head] == "__span_id_hex__":
+        return F.lower(F.lpad(F.hex(F.col("span_id")), 16, "0"))
     return F.col(paths[head])
 
 

@@ -224,7 +224,8 @@ def test_downgrader_invalid_target():
 # --- ottl_condition (ottl_test.go:22-112) ------------------------------------
 
 SPAN_SCHEMA = (
-    "doc_id string, trace_hi long, trace_lo long, start_ts long, end_ts long,"
+    "doc_id string, trace_hi long, trace_lo long, span_id long,"
+    " start_ts long, end_ts long,"
     " status_id int, threshold_len int, threshold_value long, is_root boolean,"
     " source string, name string, attrs map<string,string>,"
     " event_name string, event_attrs map<string,string>,"
@@ -237,6 +238,7 @@ def span_row(**over):
         doc_id="0" * 32,
         trace_hi=0,
         trace_lo=0,
+        span_id=1,
         start_ts=0,
         end_ts=0,
         status_id=0,
@@ -403,6 +405,11 @@ def test_ottl_widened_build_errors():
         (['attributes["k"] != nil'], [dict(attrs={})], D.PENDING),
         (['nil == attributes["k"]'], [dict(attrs={})], D.SAMPLED),  # symmetric
         (['attributes["k"] > nil'], [dict(attrs={"k": "v"})], D.PENDING),  # order vs nil = false
+        # id-to-hex paths (contrib trace_id.string / span_id.string)
+        (['IsMatch(trace_id.string, "^0{32}$")'], [dict()], D.SAMPLED),
+        (['trace_id.string == "ff"'], [dict()], D.PENDING),
+        (['span_id.string == "0000000000000001"'], [dict(span_id=1)], D.SAMPLED),
+        (['Substring(span_id.string, 15, 1) == "f"'], [dict(span_id=15)], D.SAMPLED),
     ],
 )
 def test_ottl_wave3_golden(spark, span_conds, spans, expected):
