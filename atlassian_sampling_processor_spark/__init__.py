@@ -30,9 +30,9 @@ def _register_udf_modules_by_value() -> None:
     from pyspark import cloudpickle
 
     from . import codec, hashing, parse, streaming_stateful
-    from .functions import dataops, multimodal
+    from .functions import dataops, dataops2, multimodal
 
-    for mod in (codec, hashing, parse, streaming_stateful, dataops, multimodal):
+    for mod in (codec, hashing, parse, streaming_stateful, dataops, dataops2, multimodal):
         cloudpickle.register_pickle_by_value(mod)
 
 

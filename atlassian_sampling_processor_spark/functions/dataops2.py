@@ -397,6 +397,67 @@ SQL_TOKEN_COUNT_BPE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. Rabin-Karp rolling-hash fingerprint (round 3): the true O(n)-per-doc
+# rolling polynomial hash the brief names — each 8-char window hashes to
+# Σ ord(c_j)·B^(7-j) mod M, fingerprint = min over windows (winnowing
+# min-sketch). The Spark side is a vectorized Arrow pandas UDF (numpy
+# sliding windows — built-in exprs would recompute each window from
+# scratch, O(n·G) like q_doc_fingerprint does); the DuckDB oracle spells
+# the same polynomial per window explicitly. B/M chosen so every product
+# fits comfortably in int64 for both engines (code points ≤ 0x10FFFF,
+# powers < 2^31, 8-term sums < 2^56).
+
+RH_GRAM = 8
+RH_BASE = 257
+RH_MOD = (1 << 31) - 1
+_RH_POWS = [pow(RH_BASE, RH_GRAM - 1 - j, RH_MOD) for j in range(RH_GRAM)]
+
+
+def _rolling_fp_batch(texts):
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(_RH_POWS, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for k, s in enumerate(texts):
+        # utf-32-le decode = vectorized unicode code points (== ord())
+        a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        w = np.lib.stride_tricks.sliding_window_view(a, RH_GRAM)
+        out[k] = int(((w * pows[None, :]).sum(axis=1) % RH_MOD).min())
+    return pd.Series(out)
+
+
+def q_doc_fingerprint_rolling(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def rolling_fp(texts):
+        return _rolling_fp_batch(texts)
+
+    return (
+        docs(spark, sf_dir)
+        .filter(F.length("text") >= RH_GRAM)  # no sub-window docs (none in data)
+        .select("doc_id", rolling_fp(F.col("text")).alias("rolling_fp"))
+    )
+
+
+def _sql_doc_fingerprint_rolling() -> str:
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(_RH_POWS)
+    )
+    return f"""
+      WITH w AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, len(text) - {RH_GRAM - 1})) AS i
+        FROM documents WHERE len(text) >= {RH_GRAM}
+      )
+      SELECT doc_id, min(({terms}) % {RH_MOD}) AS rolling_fp
+      FROM w GROUP BY doc_id
+    """
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
@@ -405,4 +466,5 @@ def dataops2_queries() -> dict[str, tuple]:
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
         "dedup_simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
         "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+        "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, _sql_doc_fingerprint_rolling()),
     }
