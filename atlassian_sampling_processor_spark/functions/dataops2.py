@@ -458,6 +458,60 @@ def _sql_doc_fingerprint_rolling() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# 8. int8 embedding quantization (round 3): symmetric per-vector scalar
+# quantization — scale = max|v|/127, q_j = clamp(round(v_j/scale)) — the
+# storage-shrink step ahead of ANN indexing (4x smaller vectors, dot
+# products in int arithmetic). Rounding is floor(x + 0.5) in BOTH
+# engines (identical IEEE semantics; engine round() modes differ on
+# halves), and the checked outputs are exact integers (sum/absmax of
+# the quantized codes) plus the 6dp scale — no float-summation-order
+# sensitivity anywhere.
+
+
+def q_embedding_quantize(spark, sf_dir) -> DataFrame:
+    from .dataops import emb
+
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    absmax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+        ).cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0), lambda acc, x: acc + x).cast("long").alias("sum_q"),
+        F.array_max(q).cast("long").alias("max_q"),
+        F.array_min(q).cast("long").alias("min_q"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM e
+  ),
+  q AS (
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS INT)) AS qv
+    FROM s
+  )
+  SELECT vec_id, round(scale, 6) AS scale,
+         CAST(list_sum(qv) AS BIGINT) AS sum_q,
+         CAST(list_max(qv) AS BIGINT) AS max_q,
+         CAST(list_min(qv) AS BIGINT) AS min_q
+  FROM q
+"""
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
@@ -467,4 +521,5 @@ def dataops2_queries() -> dict[str, tuple]:
         "dedup_simhash64_pairs": (q_simhash64_pairs, _sql_simhash64_pairs()),
         "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
         "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, _sql_doc_fingerprint_rolling()),
+        "embedding_quantize_int8": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     }

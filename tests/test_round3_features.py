@@ -157,6 +157,27 @@ def test_delta_commits_are_delta_sized(spark, tmp_path):
     assert trace_id(1000) not in {r.doc_id for r in resolved.collect()}
 
 
+def test_torn_sink_write_replay(spark, tmp_path):
+    """Crash AFTER the routed sink write but BEFORE the commit marker:
+    the replay overwrites the uncommitted ``routed/batch=N`` directory,
+    so sinks hold each row exactly once (no duplicates from the torn
+    attempt) and match the clean run."""
+    spans = _spans_multi_batch()
+    clean = _mk(spark, tmp_path, "sclean", primary_cache_size=6)
+    want = _run_all(clean, spark, spans)
+
+    crash = _mk(spark, tmp_path, "scrash", primary_cache_size=6)
+    df = seq_table_from_spans(spark, spans)
+    crash.run(df, n_batches=1)
+    meta0 = crash.store.last_meta()
+    # simulate the torn batch-1 attempt: run it fully, then restore the
+    # batch-0 marker + meta (exactly what a pre-commit crash leaves)
+    crash.run(df, n_batches=2)
+    crash.store.commit(0, meta=meta0)
+    got = _run_all(crash, spark, spans)  # replays batch 1 onward
+    assert got == want
+
+
 def test_vacuum_preserves_latest_state(spark, tmp_path):
     """vacuum() removes chain segments shadowed by the newest base but
     never touches anything needed to resolve the committed version —
