@@ -512,6 +512,50 @@ SQL_EMBEDDING_QUANTIZE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. keep-one-per-cluster (round 3): the corpus-cleaning decision the
+# dedup machinery exists for — within each near-dup component keep the
+# highest-quality document (rank over the ROUNDED quality + doc_id, a
+# total order shared by both engines, so the keep set is deterministic).
+# The window partitions by canonical_id: components are small cliques,
+# so no task ever sorts more than one clique.
+
+
+def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dataops import q_text_quality
+
+    groups = q_dedup_groups(spark, sf_dir)
+    qual = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    j = groups.join(qual, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "canonical_id",
+        "quality",
+        (F.col("rn") == 1).alias("keep"),
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+      WITH groups AS ({_sql_dedup_groups()}),
+      qual AS (SELECT doc_id, quality FROM ({_sql_text_quality_ref()}) )
+      SELECT doc_id, canonical_id, quality,
+             row_number() OVER (
+               PARTITION BY canonical_id ORDER BY quality DESC, doc_id ASC
+             ) = 1 AS keep
+      FROM groups JOIN qual USING (doc_id)
+    """
+
+
+def _sql_text_quality_ref() -> str:
+    from .dataops import _sql_text_quality
+
+    return _sql_text_quality()
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
@@ -522,4 +566,5 @@ def dataops2_queries() -> dict[str, tuple]:
         "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
         "doc_fingerprint_rolling": (q_doc_fingerprint_rolling, _sql_doc_fingerprint_rolling()),
         "embedding_quantize_int8": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+        "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     }
