@@ -155,6 +155,10 @@ class OTTLCondition(Policy):
 
     span_conditions: list[str] = field(default_factory=list)
     span_event_conditions: list[str] = field(default_factory=list)
+    # accepted for config parity (ottl.go:42); semantically always
+    # "ignore" here: the compiled Column expressions are total functions
+    # (try_cast / coalesce absorb what the reference's evaluator would
+    # surface as runtime errors), so "propagate" has nothing to propagate
     error_mode: str = "ignore"
 
     def __post_init__(self):

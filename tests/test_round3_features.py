@@ -157,6 +157,28 @@ def test_delta_commits_are_delta_sized(spark, tmp_path):
     assert trace_id(1000) not in {r.doc_id for r in resolved.collect()}
 
 
+def test_batch_wall_time_metric(spark, tmp_path):
+    """chan_blocking_time analogue (documentation.md:17-23): every batch
+    emits one batch_wall_time_ms metric row with a positive value."""
+    pipe = _mk(spark, tmp_path, "wallm")
+    pipe.run(
+        seq_table_from_spans(
+            spark,
+            [
+                dict(doc_id=trace_id(500), span_id=1, batch_idx=0),
+                dict(doc_id=trace_id(500), span_id=2, batch_idx=1),
+            ],
+        )
+    )
+    for b in (0, 1):
+        rows = (
+            pipe.store.read("metrics", b)
+            .filter(F.col("metric") == "batch_wall_time_ms")
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0].value > 0
+
+
 def test_torn_sink_write_replay(spark, tmp_path):
     """Crash AFTER the routed sink write but BEFORE the commit marker:
     the replay overwrites the uncommitted ``routed/batch=N`` directory,
