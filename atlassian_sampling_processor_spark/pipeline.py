@@ -749,7 +749,10 @@ class SamplingPipeline:
         """Process a sequences table batch-by-batch in arrival order.
         Resumes after the last committed batch (checkpoint recovery)."""
         if n_batches is None:
-            n_batches = sequences.agg(F.max("batch_idx")).collect()[0][0] + 1
+            max_b = sequences.agg(F.max("batch_idx")).collect()[0][0]
+            if max_b is None:  # empty input: nothing to process
+                return []
+            n_batches = max_b + 1
         last = self.store.last_committed_batch()
         start = (last if last is not None else -1) + 1
         results = []

@@ -119,46 +119,52 @@ class _Parser:
             raise PolicyError(f"OTTL: trailing tokens after expression in {self.src!r}")
         return ast
 
-    def parse_or(self):
-        left = self.parse_and()
+    def parse_or(self, allow_operand: bool = False):
+        left = self.parse_and(allow_operand)
         while self._peek() == ("ident", "or"):
             self._next()
             left = ("or", left, self.parse_and())
         return left
 
-    def parse_and(self):
-        left = self.parse_unary()
+    def parse_and(self, allow_operand: bool = False):
+        left = self.parse_unary(allow_operand)
         while self._peek() == ("ident", "and"):
             self._next()
             left = ("and", left, self.parse_unary())
         return left
 
-    def parse_unary(self):
+    def parse_unary(self, allow_operand: bool = False):
         if self._peek() == ("ident", "not"):
             self._next()
             return ("not", self.parse_unary())
         if self._peek()[0] == "lparen":
             self._next()
-            inner = self.parse_or()
+            # inside parens an operand-valued expression is legal — it may
+            # be the lhs of a comparison applied AFTER the rparen, e.g.
+            # `(end_time_unix_nano - start_time_unix_nano) > 5000000`
+            inner = self.parse_or(allow_operand=True)
             self._expect("rparen")
-            # a parenthesized operand may still be the lhs of a comparison
-            return self._maybe_cmp(inner)
-        return self.parse_comparison()
+            return self._maybe_cmp(inner, allow_operand)
+        return self.parse_comparison(allow_operand)
 
-    def parse_comparison(self):
+    def parse_comparison(self, allow_operand: bool = False):
         lhs = self.parse_operand()
-        return self._maybe_cmp(lhs)
+        return self._maybe_cmp(lhs, allow_operand)
 
-    def _maybe_cmp(self, lhs):
+    def _maybe_cmp(self, lhs, allow_operand: bool = False):
         lhs = self._maybe_arith(lhs)
         if self._peek()[0] == "op":
             op = self._next()[1]
             rhs = self.parse_operand()
             return ("cmp", op, lhs, rhs)
-        # no comparator: lhs must already be boolean-valued
+        # no comparator: lhs must already be boolean-valued — unless the
+        # caller is inside parens and the next token closes them, in which
+        # case the raw operand is returned for the outer comparison
         if lhs[0] in ("ismatch", "and", "or", "not", "cmp"):
             return lhs
         if lhs[0] == "lit" and isinstance(lhs[1], bool):
+            return lhs
+        if allow_operand and self._peek()[0] == "rparen":
             return lhs
         raise PolicyError(f"OTTL: expected comparison in {self.src!r}")
 
@@ -355,14 +361,43 @@ def _operand_column(ast, ctx: str) -> Column:
     raise PolicyError(f"OTTL: invalid operand {ast!r}")
 
 
+# path heads whose resolved columns are already numeric (long/int) — safe
+# in raw ANSI arithmetic; everything else (attr map values, name paths,
+# hex-string id paths, string literals, string-producing converters)
+# must try_cast so a non-numeric value becomes NULL instead of an ANSI
+# runtime cast error, keeping compiled expressions total functions
+_NUMERIC_HEADS = {
+    "start_time_unix_nano",
+    "end_time_unix_nano",
+    "status.code",
+    "kind",
+    "span.kind",
+}
+
+
+def _ast_is_numeric(ast) -> bool:
+    kind = ast[0]
+    if kind == "lit":
+        return isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
+    if kind == "path":
+        return ast[1][0] in _NUMERIC_HEADS
+    if kind == "len":
+        return True
+    if kind == "cast":
+        return ast[1] in ("long", "double")
+    if kind == "arith":
+        return True  # both sides already coerced numeric
+    return False  # substr/case/concat/ismatch/string paths
+
+
 def _numeric_operand(ast, ctx: str) -> Column:
-    """Operand coerced for arithmetic: string-typed attr values try_cast
-    to double (non-numeric → NULL → comparison false), numeric columns
-    pass through."""
+    """Operand coerced for arithmetic: anything not statically numeric
+    try_casts to double (non-numeric value → NULL → the comparison rules
+    absorb it), numeric columns pass through."""
     c = _operand_column(ast, ctx)
-    if ast[0] == "path" and ast[1][0] in _MAP_HEADS:
-        return c.try_cast("double")
-    return c
+    if _ast_is_numeric(ast):
+        return c
+    return c.cast("string").try_cast("double")
 
 
 def _is_numeric_lit(ast) -> bool:

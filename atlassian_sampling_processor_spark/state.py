@@ -182,6 +182,11 @@ class StateStore:
         per-batch metrics log and flush()'s state reset; state tables go
         through write_delta."""
         shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
+        # a crashed compaction may have left an uncommitted base at this
+        # version; bases win ties in _chain ("compactions win ties"), so a
+        # stale one would shadow this legacy write after commit — every
+        # write path rmtrees its sibling layouts at the same version
+        shutil.rmtree(self._base_path(table, batch), ignore_errors=True)
         df.write.mode("overwrite").parquet(self._path(table, batch))
 
     def write_delta(
@@ -227,25 +232,201 @@ class StateStore:
         # measured ~3 s of fixed resolution cost at 6 × 32 files)
         delta.coalesce(8).write.mode("overwrite").parquet(self._delta_path(table, batch))
 
+    # -- epoch layout (FIFO decision cache, round 4) ------------------------
+    #
+    # Decisions are immutable and never recency-refreshed (first-wins,
+    # processor.go:436-480), so the reference's decision-cache LRU order
+    # IS insertion order — eviction can be FIFO by `decided_batch` epoch.
+    # Instead of ranking the full O(capacity) chain on overflow
+    # (the round-3 shape), the store keeps decision_state as:
+    #
+    #   {table}/epoch/v={b}/        batch b's new decisions (O(delta) append)
+    #   {table}/evict/v={b}/        partial-eviction keys written at batch b
+    #                               (doc_id, decided_batch) — boundary epoch only
+    #   {table}/evmeta/v={b}.json   {"wm": {kind: epoch}, "counts": {epoch:
+    #                               [n_sampled, n_not_sampled]}} as of batch b
+    #   {table}/base/v={B}/decided_batch={e}/   compaction, epoch-partitioned
+    #
+    # A row of kind k in epoch e is live iff e > wm[k] and (doc_id, e) has
+    # no evict key. Whole-epoch eviction is a pure driver-side watermark
+    # advance (O(1), no job); only a partial boundary-epoch eviction runs a
+    # job, and it reads ONE epoch (partition-pruned), never the capacity.
+    # The legacy chain layout remains readable underneath (old checkpoints,
+    # flush()'s truncating legacy write) — read() unions epochs above the
+    # newest full layout exactly like deltas.
+
+    def _epoch_path(self, table: str, batch: int) -> str:
+        return os.path.join(self.dir, table, "epoch", f"v={batch}")
+
+    def _evict_path(self, table: str, batch: int) -> str:
+        return os.path.join(self.dir, table, "evict", f"v={batch}")
+
+    def _evmeta_path(self, table: str, batch: int) -> str:
+        return os.path.join(self.dir, table, "evmeta", f"v={batch}.json")
+
+    def write_epoch(self, table: str, batch: int, df: DataFrame) -> None:
+        """O(delta) append of batch ``batch``'s new rows as one epoch.
+        Clears sibling layouts at the same version (torn-write replay)."""
+        shutil.rmtree(self._path(table, batch), ignore_errors=True)
+        shutil.rmtree(self._base_path(table, batch), ignore_errors=True)
+        shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
+        shutil.rmtree(self._evict_path(table, batch), ignore_errors=True)
+        try:
+            os.remove(self._evmeta_path(table, batch))
+        except FileNotFoundError:
+            pass
+        df.coalesce(4).write.mode("overwrite").parquet(self._epoch_path(table, batch))
+
+    def write_evict(self, table: str, batch: int, keys: DataFrame) -> None:
+        """Partial-eviction keys ``(doc_id, decided_batch)`` decided at
+        batch ``batch`` — kills those rows in their epoch only, so a later
+        re-decision of the same doc (a fresh epoch row) survives."""
+        keys.select("doc_id", "decided_batch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._evict_path(table, batch))
+
+    def write_evmeta(self, table: str, batch: int, meta: dict) -> None:
+        d = os.path.dirname(self._evmeta_path(table, batch))
+        os.makedirs(d, exist_ok=True)
+        tmp = self._evmeta_path(table, batch) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._evmeta_path(table, batch))
+
+    def read_evmeta(self, table: str, batch: int) -> dict | None:
+        """Newest evmeta at version ≤ batch (versioned like the data dirs,
+        so time-travel reads use the watermark as of that commit)."""
+        d = os.path.join(self.dir, table, "evmeta")
+        best = None
+        try:
+            for name in os.listdir(d):
+                if name.startswith("v=") and name.endswith(".json"):
+                    try:
+                        v = int(name[2:-5])
+                    except ValueError:
+                        continue
+                    if v <= batch and (best is None or v > best):
+                        best = v
+        except FileNotFoundError:
+            return None
+        if best is None:
+            return None
+        with open(self._evmeta_path(table, best)) as f:
+            return json.load(f)
+
+    def _epoch_parts(self, table: str, batch: int) -> tuple[int, list[tuple[int, str]], list[tuple[int, str]]]:
+        """(floor_version, epoch dirs, evict dirs) visible at ``batch``.
+        The floor is the newest full layout (legacy or base) ≤ batch;
+        epochs/evicts at or below it are shadowed (compacted/truncated)."""
+        tdir = os.path.join(self.dir, table)
+        fulls = dict(_list_versions(tdir))
+        fulls.update(_list_versions(os.path.join(tdir, "base")))
+        floor = max((v for v in fulls if v <= batch), default=-1)
+        epochs = sorted(
+            (v, p)
+            for v, p in _list_versions(os.path.join(tdir, "epoch")).items()
+            if floor < v <= batch
+        )
+        evicts = sorted(
+            (v, p)
+            for v, p in _list_versions(os.path.join(tdir, "evict")).items()
+            if floor < v <= batch
+        )
+        return floor, epochs, evicts
+
+    def _read_epochal(
+        self,
+        table: str,
+        batch: int,
+        floor_df: DataFrame | None,
+        schema: T.StructType | None,
+    ) -> DataFrame:
+        """Union the legacy-resolved floor with epoch appends, then apply
+        the per-kind watermark filter and the partial-evict anti-join."""
+        _, epochs, evicts = self._epoch_parts(table, batch)
+        parts = [] if floor_df is None else [floor_df]
+        for _, p in epochs:
+            parts.append(self.spark.read.parquet(p))
+        if not parts:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema=schema)
+            return self.spark.createDataFrame([], schema=DECISION_STATE_SCHEMA)
+        cols = _field_names(schema) if schema is not None else parts[0].columns
+        df = parts[0].select(*cols)
+        for p in parts[1:]:
+            df = df.unionByName(p.select(*cols))
+        em = self.read_evmeta(table, batch) or {}
+        wm = {int(k): int(v) for k, v in (em.get("wm") or {}).items()}
+        if wm:
+            min_wm = min(wm.values())
+            live = F.col("decided_batch") > F.lit(min_wm)  # partition prune
+            for kind, w in wm.items():
+                live = live & (
+                    (F.col("decision") != F.lit(kind))
+                    | (F.col("decided_batch") > F.lit(w))
+                )
+            df = df.filter(live)
+        if evicts:
+            ev = self.spark.read.parquet(*[p for _, p in evicts])
+            # tiny by construction: partial evictions are bounded by the
+            # boundary epoch's size, and compaction folds them away
+            df = df.join(
+                F.broadcast(ev.select("doc_id", "decided_batch").distinct()),
+                ["doc_id", "decided_batch"],
+                "left_anti",
+            )
+        return df
+
+    def compact_epochs(self, table: str, batch: int, schema: T.StructType) -> None:
+        """Fold floor + epochs + watermarks + evict keys into a fresh
+        epoch-partitioned base at ``batch`` — O(live rows), amortized over
+        the epoch-append cadence; partition pruning keeps future watermark
+        filters cheap."""
+        live = self.read(table, batch, schema)
+        shutil.rmtree(self._path(table, batch), ignore_errors=True)
+        shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
+        (
+            live.repartition(8, "decided_batch")
+            .write.mode("overwrite")
+            .partitionBy("decided_batch")
+            .parquet(self._base_path(table, batch))
+        )
+
+    def n_epochs_since_floor(self, table: str, batch: int) -> int:
+        floor, epochs, _ = self._epoch_parts(table, batch)
+        return len(epochs)
+
     # -- read ---------------------------------------------------------------
+
+    def _has_epochs(self, table: str, batch: int) -> bool:
+        _, epochs, evicts = self._epoch_parts(table, batch)
+        return bool(epochs or evicts) or self.read_evmeta(table, batch) is not None
 
     def read(self, table: str, batch: int | None, schema: T.StructType | None = None) -> DataFrame | None:
         """Live rows of ``table`` as of committed version ``batch``
         (time-travel: any committed version resolves, not just the
         latest). None/missing → empty-with-schema or None."""
         if batch is not None:
+            epochal = self._has_epochs(table, batch)
             p = self._path(table, batch)
-            if os.path.isdir(p):  # exact legacy/full version — fast path
+            if os.path.isdir(p) and not epochal:  # exact legacy — fast path
                 return self.spark.read.parquet(p)
             bp = self._base_path(table, batch)
-            if os.path.isdir(bp):
-                return self.spark.read.parquet(bp)
-            base, deltas = self._chain(table, batch)
-            if base is not None and not deltas:  # post-compaction: plain scan
-                df = self.spark.read.parquet(base[1])
+            if os.path.isdir(bp) and not epochal:
+                df = self.spark.read.parquet(bp)
                 return df.select(*_field_names(schema)) if schema is not None else df
-            if base is not None or deltas:
-                return self._resolve(base, deltas, schema, key="doc_id")
+            base, deltas = self._chain(table, batch)
+            floor_df = None
+            if base is not None and not deltas:  # post-compaction: plain scan
+                floor_df = self.spark.read.parquet(base[1])
+                if schema is not None:
+                    floor_df = floor_df.select(*_field_names(schema))
+            elif base is not None or deltas:
+                floor_df = self._resolve(base, deltas, schema, key="doc_id")
+            if epochal:
+                return self._read_epochal(table, batch, floor_df, schema)
+            if floor_df is not None:
+                return floor_df
         if schema is not None:
             return self.spark.createDataFrame([], schema=schema)
         return None
