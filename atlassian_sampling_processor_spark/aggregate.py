@@ -76,7 +76,12 @@ def aggregate_batch(
             AGG.TRACE_LO: F.first(AGG.TRACE_LO),
         }
         final = [
-            (remerge[n] if n in remerge else F.max(n)).alias(n)  # bool flags → or
+            (
+                remerge[n]
+                if n in remerge
+                # ottl_first_* = min-of-struct order keys (propagate mode)
+                else F.min(n) if n.startswith("ottl_first_") else F.max(n)
+            ).alias(n)  # bool flags → or
             for n in names
         ]
         agg = phase1.groupBy(AGG.DOC_ID).agg(*final)

@@ -69,6 +69,21 @@ SPAN_KIND_INTERNAL, SPAN_KIND_SERVER, SPAN_KIND_CLIENT = 1, 2, 3
 NAME_KINDS = [2, 2, 3, 3, 1, 1, 3, 1]
 assert len(NAME_KINDS) == len(NAMES)
 
+# Instrumentation scope per span name (deterministic fixture — the
+# header carries no scope slot, like kind). OTTL
+# `instrumentation_scope.name/.version` paths resolve against this.
+SCOPE_INFO: list[tuple[str, str]] = [
+    ("otelhttp", "0.49.0"),
+    ("otelhttp", "0.49.0"),
+    ("otelsql", "1.24.0"),
+    ("otelredis", "9.5.1"),
+    ("app.render", "2.3.0"),
+    ("app.auth", "2.3.0"),
+    ("otelkafka", "0.46.0"),
+    ("app.internal", "2.3.0"),
+]
+assert len(SCOPE_INFO) == len(NAMES)
+
 SOURCES = [
     "jira-frontend",
     "confluence-monolith",

@@ -219,6 +219,10 @@ def enrich_spans(df: DataFrame) -> DataFrame:
             "event_attrs",
             F.when(F.col("event_attr_code") >= 0, _attr_map("event_attr_code")),
         )
+        # instrumentation scope (ottlspan context): deterministic per-name
+        # fixture, same approach as `kind` (codec.SCOPE_INFO)
+        .withColumn("scope_name", _idx_lookup([n for n, _ in codec.SCOPE_INFO], F.col("name_id")))
+        .withColumn("scope_version", _idx_lookup([v for _, v in codec.SCOPE_INFO], F.col("name_id")))
     )
 
 

@@ -73,6 +73,52 @@ EVICTION_POLICY = "__evicted__"
 DECISION_SPAN_POLICY = "__decision_span__"
 
 
+def plan_decision_eviction(
+    counts: dict[int, list[int]],
+    wm: dict[int, int],
+    caps: dict[int, int],
+    b: int,
+) -> tuple[list[tuple[int, int, int]], dict[int, tuple[int, int]]]:
+    """FIFO decision-cache eviction plan — pure driver arithmetic.
+
+    ``counts``: per-epoch ``[n_sampled, n_not_sampled]`` live counts;
+    ``wm``: per-kind watermark (epochs ≤ wm are dead for that kind);
+    ``caps``: per-kind capacity. Mutates counts/wm in place and returns
+    ``(partial_requests, eviction_ages)`` where a partial request
+    ``(kind, epoch, k)`` asks for the k lowest doc_ids of that kind in
+    that epoch (the same victims as a [desc decided_batch, desc doc_id]
+    keep-order rank) and ages are ``{kind: (n_evicted, Σ(b - epoch))}``
+    (decision_eviction_time, processor.go:665-674, in batch units)."""
+    kidx = {D.SAMPLED: 0, D.NOT_SAMPLED: 1}
+    partial_req: list[tuple[int, int, int]] = []
+    dec_ev_age: dict[int, tuple[int, int]] = {}
+    for kind, cap in caps.items():
+        i = kidx[kind]
+        w = wm.get(kind, -1)
+        over = sum(cnt[i] for e, cnt in counts.items() if e > w) - cap
+        if over <= 0:
+            continue
+        n_ev, age = 0, 0
+        for e in sorted(e for e in counts if e > w):
+            n = counts[e][i]
+            if n <= over:  # whole epoch falls off — no job at all
+                wm[kind] = e
+                over -= n
+                counts[e][i] = 0
+                n_ev += n
+                age += n * (b - e)
+            else:
+                partial_req.append((kind, e, over))
+                counts[e][i] = n - over
+                n_ev += over
+                age += over * (b - e)
+                over = 0
+            if over == 0:
+                break
+        dec_ev_age[kind] = (n_ev, age)
+    return partial_req, dec_ev_age
+
+
 def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
@@ -182,7 +228,18 @@ class SamplingPipeline:
         prev = self.store.last_committed_batch()
         pend_state = self.store.read("pending_state", prev, PENDING_STATE_SCHEMA)
         pend_spans = self.store.read("pending_spans", prev, PENDING_SPANS_SCHEMA)
-        dec_state = self.store.read("decision_state", prev, DECISION_STATE_SCHEMA)
+        # nop decision cache (nop_cache.go:11-40): Get always misses, so
+        # the early-decision join sees an empty cache even on a checkpoint
+        # that held decisions before a reconfigure to capacity 0
+        nop_dec = (
+            self.engine.sampled_cache_size == 0
+            and self.engine.non_sampled_cache_size == 0
+        )
+        dec_state = (
+            _empty(self.spark, DECISION_STATE_SCHEMA)
+            if nop_dec
+            else self.store.read("decision_state", prev, DECISION_STATE_SCHEMA)
+        )
 
         if "flushes" not in raw_batch.columns:
             raw_batch = raw_batch.withColumn("flushes", F.lit(None).cast("int"))
@@ -458,8 +515,6 @@ class SamplingPipeline:
             )
             .unionByName(new_dec_from_spans)
         )
-        dec_mid = dec_state.unionByName(new_decisions)
-        meta = self.store.last_meta()
         evicted_keys = evicted.select("doc_id")
         n_pending = (
             tier_counts.get("primary", 0) + tier_counts.get("secondary", 0) - n_evicted
@@ -522,111 +577,143 @@ class SamplingPipeline:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            # cache_reads hit/miss (lru_cache.go:49-58): a batch trace
-            # probing the pending cache hits iff cached metadata existed
-            cache_stats = decided.agg(
+            # policy-error telemetry (error_mode=propagate): count traces
+            # whose evaluation errored per policy — the reference's
+            # log-and-continue warning (decider.go:46-48) surfaced as a
+            # metric dimension. Only policies the decider actually
+            # evaluated count (i ≤ decisive index), matching the loop.
+            prop = [
+                (i, p.name)
+                for i, p in enumerate(self.policies)
+                if getattr(p, "error_mode", "ignore") == "propagate"
+            ]
+            agg_exprs = [
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("cached_span_count").isNotNull().cast("long")).alias("hits"),
-            ).collect()[0]
-            return dec_counts, cache_stats
+            ] + [
+                F.sum(
+                    (
+                        (
+                            F.col("policy_index").isNull()
+                            | (F.lit(i) <= F.col("policy_index"))
+                        )
+                        & (F.element_at("policy_decisions", i + 1) == D.UNSPECIFIED)
+                    ).cast("long")
+                ).alias(f"_e{i}")
+                for i, _ in prop
+            ]
+            # cache_reads hit/miss (lru_cache.go:49-58) share the same agg
+            cache_stats = decided.agg(*agg_exprs).collect()[0]
+            err_counts = {
+                name: int(cache_stats[f"_e{i}"] or 0) for i, name in prop
+            }
+            return dec_counts, cache_stats, err_counts
 
         def job_decision_state(n_sampled: int, n_not_sampled: int):
-            # decision-cache capacity (two LRU decision caches,
-            # processor.go:142-148): exact per-kind totals tracked
-            # driver-side in the commit marker; the rank only runs on
-            # overflow.
+            # Decision caches (two FIFO caches over immutable first-wins
+            # decisions, processor.go:142-148). LRU order ≡ insertion
+            # order because decisions are never recency-refreshed, so
+            # capacity eviction is a pure driver-side watermark advance
+            # over `decided_batch` epochs — O(1) per batch, no job — plus
+            # at most one O(boundary-epoch) partial-evict job. The per-
+            # epoch per-kind counts ride the versioned evmeta JSON; the
+            # evicted key-set is identical to the old full-chain rank
+            # (asserted in tests/test_round4_epochs.py).
             dec_ev_age: dict[int, tuple[int, int]] = {}
             if self.engine.sampled_cache_size == 0 and self.engine.non_sampled_cache_size == 0:
                 # nop decision cache (nop_cache.go:11-40): decisions are
                 # never remembered — late spans of a decided trace
-                # re-evaluate from scratch next batch. Nothing is ever
-                # inserted, so the resolved chain stays empty.
-                self.store.write_delta(
-                    "decision_state", b, prev,
-                    inserts=_empty(self.spark, DECISION_STATE_SCHEMA),
-                    tombstone_keys=None, schema=DECISION_STATE_SCHEMA,
+                # re-evaluate from scratch next batch. Truncate (legacy
+                # empty write shadows the whole history) so a checkpoint
+                # that held decisions before a reconfigure forgets them.
+                self.store.write(
+                    "decision_state", b, _empty(self.spark, DECISION_STATE_SCHEMA)
                 )
+                self.store.write_evmeta("decision_state", b, {"wm": {}, "counts": {}})
                 return 0, 0, dec_ev_age
+            # O(delta) epoch append — the ONLY per-batch write
+            self.store.write_epoch("decision_state", b, new_decisions)
             ds_counts = {
                 r["decision"]: r["n"]
                 for r in new_dec_from_spans.groupBy("decision")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            prev_s = meta.get("dec_sampled")
-            prev_ns = meta.get("dec_not_sampled")
-            if prev_s is None or prev_ns is None:  # old checkpoint: count once
-                old = {
-                    r["decision"]: r["n"]
-                    for r in dec_state.groupBy("decision")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                prev_s, prev_ns = old.get(D.SAMPLED, 0), old.get(D.NOT_SAMPLED, 0)
-            tot_s = prev_s + n_sampled + ds_counts.get(D.SAMPLED, 0)
-            tot_ns = prev_ns + n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
-            if (
-                tot_s <= self.engine.sampled_cache_size
-                and tot_ns <= self.engine.non_sampled_cache_size
-            ):
-                # decisions are immutable (first-wins enforced upstream), so
-                # the common under-capacity batch appends O(new decisions)
-                # with zero tombstones — the pure O(delta) commit.
-                self.store.write_delta(
-                    "decision_state", b, prev,
-                    inserts=new_decisions, tombstone_keys=None,
-                    schema=DECISION_STATE_SCHEMA,
-                )
+            new_s = n_sampled + ds_counts.get(D.SAMPLED, 0)
+            new_ns = n_not_sampled + n_evicted + ds_counts.get(D.NOT_SAMPLED, 0)
+            em = self.store.read_evmeta("decision_state", prev) if prev is not None else None
+            if em is None:
+                # first epoch-era batch: derive per-epoch counts from the
+                # resolved legacy chain once (old checkpoints resume)
+                counts: dict[int, list[int]] = {}
+                if prev is not None:
+                    for r in (
+                        dec_state.groupBy("decided_batch", "decision")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    ):
+                        c = counts.setdefault(int(r["decided_batch"]), [0, 0])
+                        if r["decision"] == D.SAMPLED:
+                            c[0] += r["n"]
+                        elif r["decision"] == D.NOT_SAMPLED:
+                            c[1] += r["n"]
+                wm: dict[int, int] = {}
             else:
-                from .functions.topk import ranked_in_group
-
-                dranked = ranked_in_group(
-                    dec_mid,
-                    "decision",
-                    [F.desc("decided_batch"), F.desc("doc_id")],
-                    two_level=self.engine.two_level_eviction,
-                )
-                dcap = F.when(
-                    F.col("decision") == D.SAMPLED, F.lit(self.engine.sampled_cache_size)
-                ).otherwise(F.lit(self.engine.non_sampled_cache_size))
-                # overflow rows become tombstones — in steady state the
-                # overflow count per batch ≈ the insert count, so the
-                # commit stays O(delta); only the rank READS the chain.
-                dover = (
-                    dranked.filter(F.col("rn") > dcap)
-                    .select("doc_id", "decision", "decided_batch")
-                    .persist()
-                )
-                # decision_eviction_time (processor.go:665-674): age of
-                # the decisions falling off each cache, in batch units.
-                # Only costs a job on the overflow batch.
-                dec_ev_age = {
-                    r["decision"]: (int(r["n"]), int(r["age"] or 0))
-                    for r in dover.groupBy("decision")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.lit(b) - F.col("decided_batch")).alias("age"),
+                counts = {int(e): [int(c[0]), int(c[1])] for e, c in em["counts"].items()}
+                wm = {int(k): int(v) for k, v in em["wm"].items()}
+            c = counts.setdefault(b, [0, 0])
+            c[0] += new_s
+            c[1] += new_ns
+            caps = {
+                D.SAMPLED: self.engine.sampled_cache_size,
+                D.NOT_SAMPLED: self.engine.non_sampled_cache_size,
+            }
+            partial_req, dec_ev_age = plan_decision_eviction(counts, wm, caps, b)
+            if partial_req:
+                # read ONE epoch per request (its append file or base
+                # partition directory), never the capacity
+                ev_parts = [
+                    self.store.read_epoch_slice(
+                        "decision_state", b, e, DECISION_STATE_SCHEMA
                     )
-                    .collect()
-                }
-                self.store.write_delta(
-                    "decision_state", b, prev,
-                    inserts=new_decisions.join(
-                        dover.select("doc_id"), "doc_id", "left_anti"
-                    ),
-                    tombstone_keys=dover.select("doc_id"),
-                    schema=DECISION_STATE_SCHEMA,
-                )
-                dover.unpersist()
-                tot_s = min(tot_s, self.engine.sampled_cache_size)
-                tot_ns = min(tot_ns, self.engine.non_sampled_cache_size)
+                    .filter(F.col("decision") == kind)
+                    .orderBy("doc_id")
+                    .limit(k)
+                    .select("doc_id", "decided_batch")
+                    for kind, e, k in partial_req
+                ]
+                ev = ev_parts[0]
+                for part in ev_parts[1:]:
+                    ev = ev.unionByName(part)
+                self.store.write_evict("decision_state", b, ev)
+            # an epoch is fully dead only when BOTH kinds' watermarks have
+            # passed it (a kind absent from wm has watermark -1)
+            min_wm = min(wm.get(D.SAMPLED, -1), wm.get(D.NOT_SAMPLED, -1))
+            counts = {
+                e: cnt for e, cnt in counts.items()
+                if e > min_wm and (cnt[0] > 0 or cnt[1] > 0)
+            }
+            self.store.write_evmeta(
+                "decision_state", b,
+                {"wm": {str(k): v for k, v in wm.items()},
+                 "counts": {str(e): cnt for e, cnt in counts.items()}},
+            )
+            if (
+                self.store.n_epochs_since_floor("decision_state", b)
+                >= self.engine.state_compact_every
+            ):
+                self.store.compact_epochs("decision_state", b, DECISION_STATE_SCHEMA)
+            tot_s = sum(cnt[0] for e, cnt in counts.items() if e > wm.get(D.SAMPLED, -1))
+            tot_ns = sum(
+                cnt[1] for e, cnt in counts.items() if e > wm.get(D.NOT_SAMPLED, -1)
+            )
             return tot_s, tot_ns, dec_ev_age
 
         def job_counts_then_decisions():
-            dec_counts, cache_stats = job_counts()
+            dec_counts, cache_stats, err_counts = job_counts()
             n_s = sum(n for (p, d, g), n in dec_counts.items() if d == D.SAMPLED)
             n_ns = sum(n for (p, d, g), n in dec_counts.items() if d == D.NOT_SAMPLED)
-            return dec_counts, cache_stats, n_s, n_ns, job_decision_state(n_s, n_ns)
+            return dec_counts, cache_stats, err_counts, n_s, n_ns, job_decision_state(n_s, n_ns)
 
         with ThreadPoolExecutor(max_workers=4) as ex:
             f_routed = ex.submit(job_routed)
@@ -636,7 +723,10 @@ class SamplingPipeline:
             sink_counts = f_routed.result()
             f_pend_state.result()
             f_pend_spans.result()
-            dec_counts, cache_stats, n_sampled, n_not_sampled, dec_state_out = f_chain.result()
+            (
+                dec_counts, cache_stats, err_counts,
+                n_sampled, n_not_sampled, dec_state_out,
+            ) = f_chain.result()
         tot_s, tot_ns, dec_ev_age = dec_state_out
         prof.mark("concurrent_writes+counts")
 
@@ -665,6 +755,7 @@ class SamplingPipeline:
                 ev_age=ev_age,
                 dec_ev_age=dec_ev_age,
                 batch_wall_ms=int((time.perf_counter() - t_batch0) * 1000),
+                err_counts=err_counts,
             ),
         )
         prof.mark("metrics_write")
@@ -690,6 +781,7 @@ class SamplingPipeline:
         ev_age: dict | None = None,
         dec_ev_age: dict | None = None,
         batch_wall_ms: int = 0,
+        err_counts: dict | None = None,
     ) -> DataFrame:
         """Per-batch metrics table mirroring the reference's counters
         (documentation.md:9-79; emission sites per BASELINE.md). Built
@@ -727,6 +819,16 @@ class SamplingPipeline:
             # NEXT arrival slice experiences.
             (b, "batch_wall_time_ms", {}, batch_wall_ms),
         ]
+        # policy evaluation errors (error_mode=propagate): the decider's
+        # log-and-continue path (decider.go:46-48) as a metric dimension
+        for name, n in sorted((err_counts or {}).items()):
+            if n:
+                rows.append((
+                    b,
+                    "policy_decisions",
+                    {"policy": str(name), "decision": "Unspecified", "error": "true"},
+                    int(n),
+                ))
         # trace_eviction_time (processor.go:653-663): summed eviction age in
         # BATCH units per cache tier (the reference records wall seconds per
         # eviction; batch index is this engine's clock). Emitted only on
@@ -799,6 +901,7 @@ class SamplingPipeline:
         self.store.write("pending_state", b, _empty(self.spark, PENDING_STATE_SCHEMA))
         self.store.write("pending_spans", b, _empty(self.spark, PENDING_SPANS_SCHEMA))
         self.store.write("decision_state", b, _empty(self.spark, DECISION_STATE_SCHEMA))
+        self.store.write_evmeta("decision_state", b, {"wm": {}, "counts": {}})
         self.store.write("metrics", b, _empty(self.spark, METRICS_SCHEMA))
         self.store.commit(b)
         return {"flushed_rows": counts["kept"], "decision_rows": n_dec}

@@ -155,15 +155,24 @@ class OTTLCondition(Policy):
 
     span_conditions: list[str] = field(default_factory=list)
     span_event_conditions: list[str] = field(default_factory=list)
-    # accepted for config parity (ottl.go:42); semantically always
-    # "ignore" here: the compiled Column expressions are total functions
-    # (try_cast / coalesce absorb what the reference's evaluator would
-    # surface as runtime errors), so "propagate" has nothing to propagate
+    # error_mode (ottl.go:42): compiled Columns are total functions
+    # (try_cast/coalesce absorb runtime failures), so "ignore" is the
+    # natural mode. "propagate" recovers WHERE those absorptions happened
+    # (ottl.error_column) and mirrors the reference exactly: evaluation
+    # stops at the first span (in (start_ts, span_id) order) whose
+    # condition sequence errors OR matches — an error yields Unspecified
+    # (the decider's log-and-continue path, decider.go:46-48) even if a
+    # LATER span would have matched, whereas "ignore" treats the errored
+    # condition as false and lets that later span sample the trace.
     error_mode: str = "ignore"
 
     def __post_init__(self):
         from . import ottl
 
+        if self.error_mode not in ("ignore", "propagate"):
+            raise PolicyError(
+                f"ottl_condition error_mode must be ignore|propagate, got {self.error_mode!r}"
+            )
         if not self.span_conditions and not self.span_event_conditions:
             raise PolicyError("at least one OTTL condition must be specified")
         # parse + path-validate at build time; Column construction is
@@ -182,18 +191,70 @@ class OTTLCondition(Policy):
     def _flag(self) -> str:
         return f"ottl_match_{re.sub(r'[^A-Za-z0-9_]', '_', self.name)}"
 
-    def span_agg_exprs(self) -> list[Column]:
+    def _ord_cols(self) -> tuple[str, str]:
+        n = re.sub(r"[^A-Za-z0-9_]", "_", self.name)
+        # the ottl_first_ prefix doubles as the salted-remerge min rule
+        # (aggregate.py): min-of-struct is decomposable
+        return f"ottl_first_match_{n}", f"ottl_first_err_{n}"
+
+    def _cond_pairs(self):
+        """Ordered (cond, err) Column pairs — span conditions first, then
+        spanevent conditions, the reference's evaluation order
+        (ottl.go Evaluate: span expr, then span events)."""
         from . import ottl
 
         has_event = F.col("event_name").isNotNull()
-        conds = [ottl.to_column(a, "span") for a in self._span_asts] + [
-            has_event & ottl.to_column(a, "spanevent") for a in self._event_asts
+        pairs = [
+            (ottl.to_column(a, "span"), ottl.error_column(a, "span"))
+            for a in self._span_asts
         ]
-        any_cond = reduce(lambda a, b: a | b, conds)
-        return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]
+        pairs += [
+            (
+                has_event & ottl.to_column(a, "spanevent"),
+                has_event & ottl.error_column(a, "spanevent"),
+            )
+            for a in self._event_asts
+        ]
+        return pairs
+
+    def span_agg_exprs(self) -> list[Column]:
+        pairs = self._cond_pairs()
+        if self.error_mode != "propagate":
+            any_cond = reduce(lambda a, b: a | b, [c for c, _ in pairs])
+            return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]
+        # propagate: per span, the FIRST condition that errors or matches
+        # decides the span (contrib ConditionSequence semantics); per
+        # trace, the first deciding span in (start_ts, span_id) order
+        # decides the trace. min-of-struct aggregates are order-exact and
+        # decomposable (salted two-phase safe).
+        outcome = F.coalesce(
+            *[
+                F.when(F.coalesce(e, F.lit(False)), F.lit(1)).when(
+                    F.coalesce(c, F.lit(False)), F.lit(2)
+                )
+                for c, e in pairs
+            ]
+        )
+        ordk = F.struct(F.col("start_ts"), F.col("span_id"))
+        m_col, e_col = self._ord_cols()
+        return [
+            F.min(F.when(outcome == 2, ordk)).alias(m_col),
+            F.min(F.when(outcome == 1, ordk)).alias(e_col),
+        ]
 
     def decision(self) -> Column:
-        return F.when(F.col(self._flag()), _lit_d(D.SAMPLED)).otherwise(_lit_d(D.PENDING))
+        if self.error_mode != "propagate":
+            return F.when(F.col(self._flag()), _lit_d(D.SAMPLED)).otherwise(
+                _lit_d(D.PENDING)
+            )
+        m_col, e_col = self._ord_cols()
+        fm, fe = F.col(m_col), F.col(e_col)
+        trace_err = fe.isNotNull() & (fm.isNull() | (fe < fm))
+        return (
+            F.when(trace_err, _lit_d(D.UNSPECIFIED))  # error → decider continues
+            .when(fm.isNotNull(), _lit_d(D.SAMPLED))
+            .otherwise(_lit_d(D.PENDING))
+        )
 
 
 @dataclass

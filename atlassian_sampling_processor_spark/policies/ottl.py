@@ -160,7 +160,7 @@ class _Parser:
         # no comparator: lhs must already be boolean-valued — unless the
         # caller is inside parens and the next token closes them, in which
         # case the raw operand is returned for the outer comparison
-        if lhs[0] in ("ismatch", "and", "or", "not", "cmp"):
+        if lhs[0] in ("ismatch", "and", "or", "not", "cmp", "isroot", "istype"):
             return lhs
         if lhs[0] == "lit" and isinstance(lhs[1], bool):
             return lhs
@@ -261,6 +261,22 @@ class _Parser:
                 self._expect("rparen")
                 typ = {"Int": "long", "Double": "double", "String": "string"}[v]
                 return ("cast", typ, target)
+            if v == "IsRootSpan":  # ottlfuncs.NewIsRootSpanFactoryNew —
+                # wired by the reference for the span context only
+                # (ottl.go standardSpanFuncs)
+                self._expect("lparen")
+                self._expect("rparen")
+                return ("isroot",)
+            if v in ("IsString", "IsInt", "IsDouble", "IsBool"):
+                # type predicates (ottlfuncs StandardConverters). pdata
+                # value types are static in this engine's span model
+                # (attrs are string-valued, timestamps int64), so the
+                # type half resolves at compile time; presence stays a
+                # runtime check.
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("istype", v[2:].lower(), target)
             if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
@@ -303,6 +319,12 @@ _SPAN_SCOPE = {
     # span_id.string renders the 64-bit id as 16-hex lazily
     "trace_id.string": "doc_id",
     "span_id.string": "__span_id_hex__",
+    # instrumentation scope (ottlspan context `instrumentation_scope.*`):
+    # the token header carries no scope slot, so the pipeline assigns a
+    # deterministic per-span-name scope fixture (codec.SCOPE_INFO), the
+    # same approach as `kind`
+    "instrumentation_scope.name": "scope_name",
+    "instrumentation_scope.version": "scope_version",
 }
 _CTX_PATHS = {
     "span": {"attributes": "attrs", "name": "name", **_SPAN_SCOPE},
@@ -356,7 +378,7 @@ def _operand_column(ast, ctx: str) -> Column:
         lc = _numeric_operand(ast[2], ctx)
         rc = _numeric_operand(ast[3], ctx)
         return (lc + rc) if ast[1] == "+" else (lc - rc)
-    if kind == "ismatch":
+    if kind in ("ismatch", "isroot", "istype"):
         return to_column(ast, ctx)
     raise PolicyError(f"OTTL: invalid operand {ast!r}")
 
@@ -400,6 +422,34 @@ def _numeric_operand(ast, ctx: str) -> Column:
     return c.cast("string").try_cast("double")
 
 
+def _static_type(ast) -> str:
+    """Compile-time value type of an operand in this engine's span model
+    (attr values are strings, timestamps/kind/status int64) — the basis
+    of the Is* type predicates."""
+    kind = ast[0]
+    if kind == "lit":
+        v = ast[1]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "double"
+        return "string"
+    if kind == "path":
+        return "int" if ast[1][0] in _NUMERIC_HEADS else "string"
+    if kind == "len":
+        return "int"
+    if kind == "cast":
+        return {"long": "int", "double": "double", "string": "string"}[ast[1]]
+    if kind == "arith":
+        l, r = _static_type(ast[2]), _static_type(ast[3])
+        return "int" if l == "int" and r == "int" else "double"
+    if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
+        return "bool"
+    return "string"  # substr/case/concat
+
+
 def _is_numeric_lit(ast) -> bool:
     return ast[0] == "lit" and isinstance(ast[1], (int, float)) and not isinstance(ast[1], bool)
 
@@ -421,6 +471,13 @@ def to_column(ast, ctx: str) -> Column:
     if kind == "ismatch":
         target = _operand_column(ast[1], ctx)
         return F.coalesce(target.rlike(ast[2]), F.lit(False))
+    if kind == "isroot":  # ottlfuncs func_is_root_span: empty/zero parent
+        return F.coalesce(F.col("is_root"), F.lit(False))
+    if kind == "istype":
+        if _static_type(ast[2]) != ast[1]:
+            return F.lit(False)
+        # right static type: true iff the value is present
+        return _operand_column(ast[2], ctx).isNotNull()
     if kind == "cmp":
         op, l, r = ast[1], ast[2], ast[3]
         # an explicit nil literal compares by PRESENCE (OTTL nil
@@ -462,8 +519,11 @@ def validate_paths(ast, ctx: str) -> None:
         validate_paths(ast[1], ctx)
     elif kind in ("ismatch", "len", "substr", "case"):
         validate_paths(ast[1], ctx)
-    elif kind == "cast":
+    elif kind in ("cast", "istype"):
         validate_paths(ast[2], ctx)
+    elif kind == "isroot":
+        if ctx != "span":  # the reference wires it for span funcs only
+            raise PolicyError("OTTL: IsRootSpan() is a span-context converter")
     elif kind == "concat":
         for t in ast[1]:
             validate_paths(t, ctx)
@@ -473,3 +533,63 @@ def validate_paths(ast, ctx: str) -> None:
     elif kind == "path":
         if ast[1][0] not in _CTX_PATHS[ctx]:
             raise PolicyError(f"unsupported OTTL {ctx} field: {ast[1][0]!r}")
+
+
+def error_column(ast, ctx: str) -> Column:
+    """Boolean Column: true where the reference's evaluator would ERROR
+    on this row (error_mode semantics, ottl.go:42-120 → decider.go:46-48).
+
+    The compiled decision Columns are total functions — try_cast /
+    coalesce absorb runtime failures — so `ignore` needs nothing. This
+    expression recovers WHERE those absorptions happened, for
+    `propagate`: Int()/Double() over a present non-numeric value
+    (strconv failure in ottlfuncs func_int/func_double), arithmetic over
+    a present non-numeric operand, Substring() out of range
+    (func_substring bounds errors), and IsMatch over an absent value
+    (the StandardStringLikeGetter nil error). Composition is err(l) |
+    err(r) — the contrib condition sequence surfaces an error from
+    either side."""
+    kind = ast[0]
+    f = F.lit(False)
+    if kind in ("lit", "path", "isroot"):
+        return f
+    if kind in ("and", "or"):
+        return error_column(ast[1], ctx) | error_column(ast[2], ctx)
+    if kind == "not":
+        return error_column(ast[1], ctx)
+    if kind == "cmp":
+        return error_column(ast[2], ctx) | error_column(ast[3], ctx)
+    if kind == "ismatch":
+        tgt = _operand_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "istype":
+        return error_column(ast[2], ctx)
+    if kind == "len":
+        return error_column(ast[1], ctx)
+    if kind == "case":
+        return error_column(ast[1], ctx)
+    if kind == "concat":
+        out = f
+        for t in ast[1]:
+            out = out | error_column(t, ctx)
+        return out
+    if kind == "substr":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        oob = tgt.isNotNull() & (F.lit(ast[2] + ast[3]) > F.length(tgt))
+        return error_column(ast[1], ctx) | F.coalesce(oob, f)
+    if kind == "cast":
+        child = error_column(ast[2], ctx)
+        if ast[1] == "string":
+            return child
+        tgt = _operand_column(ast[2], ctx)
+        bad = tgt.isNotNull() & tgt.cast("string").try_cast(ast[1]).isNull()
+        return child | F.coalesce(bad, f)
+    if kind == "arith":
+        out = error_column(ast[2], ctx) | error_column(ast[3], ctx)
+        for side in (ast[2], ast[3]):
+            if not _ast_is_numeric(side):
+                c = _operand_column(side, ctx)
+                bad = c.isNotNull() & c.cast("string").try_cast("double").isNull()
+                out = out | F.coalesce(bad, f)
+        return out
+    raise PolicyError(f"OTTL: invalid expression node {ast!r}")

@@ -406,6 +406,8 @@ def sampling_queries() -> dict[str, tuple]:
         "ottl_condition_policy": (q_ottl_policy, SQL_OTTL),
         "ottl_ismatch_policy": (q_ottl_ismatch_policy, SQL_OTTL_ISMATCH),
         "ottl_wave3_policy": (q_ottl_wave3_policy, SQL_OTTL_WAVE3),
+        "ottl_propagate_policy": (q_ottl_propagate_policy, SQL_OTTL_PROPAGATE),
+        "ottl_wave5_policy": (q_ottl_wave5_policy, SQL_OTTL_WAVE5),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -716,6 +718,120 @@ SQL_OTTL_WAVE3 = """
                OR (event_id % 4 = 2 AND substr(event_type, 1, 1) = 's'
                    AND CAST(floor(value * 1000000) AS BIGINT) - 0 > 100000000)
                OR json_extract_string(props, '$.k') IS NULL
+             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ottl_propagate_policy(spark, sf_dir):
+    """ottl_condition with ``error_mode: propagate`` (ottl.go:42 →
+    decider.go:46-48): ``Int(attributes["k"]) == 42`` where every third
+    span carries a non-numeric attr value (a strconv error in the
+    reference). Evaluation stops at the FIRST span, in (start_ts,
+    span_id) order, whose condition errors or matches — an earlier error
+    beats a later match (→ Unspecified, the decider's log-and-continue),
+    unlike ignore mode where the error is just false. Compiled through
+    the real policy builder incl. its decision expression."""
+    from . import decision as D
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="prop",
+        span_conditions=['Int(attributes["k"]) == 42'],
+        error_mode="propagate",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # every third span's attr value is the (non-numeric) event_type
+    attr_v = F.when(
+        F.col("event_id") % 3 == 0, F.col("event_type")
+    ).otherwise(F.get_json_object("props", "$.k"))
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.col("event_id").cast("long").alias("span_id"),
+        F.lit(0).cast("long").alias("start_ts"),
+        F.map_filter(
+            F.create_map(F.lit("k"), attr_v), lambda k, v: v.isNotNull()
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    names = F.array(*[F.lit(D.DECISION_NAMES[i]) for i in range(5)])
+    return agg.select(
+        "trace_key", F.element_at(names, pol.decision() + 1).alias("decision")
+    )
+
+
+SQL_OTTL_PROPAGATE = """
+  WITH spans AS (
+    SELECT user_id AS trace_key, event_id,
+           CASE WHEN event_id % 3 = 0 THEN event_type
+                ELSE json_extract_string(props, '$.k') END AS v
+    FROM events
+  ), marks AS (
+    SELECT trace_key,
+           min(CASE WHEN v IS NOT NULL AND TRY_CAST(v AS BIGINT) IS NULL
+                    THEN event_id END) AS first_err,
+           min(CASE WHEN TRY_CAST(v AS BIGINT) = 42 THEN event_id END) AS first_match
+    FROM spans GROUP BY trace_key
+  )
+  SELECT trace_key,
+         CASE WHEN first_err IS NOT NULL
+                   AND (first_match IS NULL OR first_err < first_match)
+              THEN 'Unspecified'
+              WHEN first_match IS NOT NULL THEN 'Sampled'
+              ELSE 'Pending' END AS decision
+  FROM marks
+"""
+
+
+def q_ottl_wave5_policy(spark, sf_dir):
+    """ottl_condition, wave-5 grammar (round 4): instrumentation scope
+    paths, ``IsRootSpan()`` and the ``Is*`` type predicates —
+    the converters the reference wires via standardSpanFuncs
+    (internal/evaluators/ottl.go) on top of contrib StandardConverters."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="wave5",
+        span_conditions=[
+            'instrumentation_scope.name == "otelerr"'
+            ' or (IsRootSpan() and IsString(attributes["k"])'
+            '     and instrumentation_scope.version >= "2")'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        # deterministic scope fixture from the event type, like the
+        # pipeline's per-name scope assignment
+        F.concat(F.lit("otel"), F.substring("event_type", 1, 3)).alias("scope_name"),
+        F.concat((F.col("event_id") % 3).cast("string"), F.lit(".1.0")).alias(
+            "scope_version"
+        ),
+        (F.col("event_id") % 5 == 0).alias("is_root"),
+        F.map_filter(
+            F.create_map(F.lit("k"), F.get_json_object("props", "$.k")),
+            lambda k, v: v.isNotNull(),
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE5 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN
+                  'otel' || substr(event_type, 1, 3) = 'otelerr'
+               OR (event_id % 5 = 0
+                   AND json_extract_string(props, '$.k') IS NOT NULL
+                   AND CAST(event_id % 3 AS VARCHAR) || '.1.0' >= '2')
              THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id

@@ -340,10 +340,11 @@ class StateStore:
         batch: int,
         floor_df: DataFrame | None,
         schema: T.StructType | None,
+        epochs: list[tuple[int, str]],
+        evicts: list[tuple[int, str]],
     ) -> DataFrame:
         """Union the legacy-resolved floor with epoch appends, then apply
         the per-kind watermark filter and the partial-evict anti-join."""
-        _, epochs, evicts = self._epoch_parts(table, batch)
         parts = [] if floor_df is None else [floor_df]
         for _, p in epochs:
             parts.append(self.spark.read.parquet(p))
@@ -377,6 +378,45 @@ class StateStore:
             )
         return df
 
+    def read_epoch_slice(
+        self, table: str, batch: int, epoch: int, schema: T.StructType
+    ) -> DataFrame:
+        """Live rows of ONE epoch as of ``batch`` — the partial-eviction
+        read path. Touches only that epoch's append file (or its base
+        partition directory), never the capacity; prior partial-evict
+        keys for the epoch are anti-joined (broadcast, tiny)."""
+        floor, epochs, evicts = self._epoch_parts(table, batch)
+        paths = [p for v, p in epochs if v == epoch]
+        df = None
+        if paths:
+            df = self.spark.read.parquet(paths[0]).select(*_field_names(schema))
+        elif floor >= 0:
+            bdir = os.path.join(
+                self._base_path(table, floor), f"decided_batch={epoch}"
+            )
+            if os.path.isdir(bdir):
+                cols = [c for c in _field_names(schema) if c != "decided_batch"]
+                df = (
+                    self.spark.read.parquet(bdir)
+                    .withColumn("decided_batch", F.lit(epoch).cast("int"))
+                    .select(*_field_names(schema))
+                )
+        if df is None:  # legacy chain floor — resolve and filter (rare)
+            df = self.read(table, batch, schema).filter(
+                F.col("decided_batch") == F.lit(epoch)
+            )
+            return df
+        if evicts:
+            ev = self.spark.read.parquet(*[p for _, p in evicts]).filter(
+                F.col("decided_batch") == F.lit(epoch)
+            )
+            df = df.join(
+                F.broadcast(ev.select("doc_id", "decided_batch").distinct()),
+                ["doc_id", "decided_batch"],
+                "left_anti",
+            )
+        return df
+
     def compact_epochs(self, table: str, batch: int, schema: T.StructType) -> None:
         """Fold floor + epochs + watermarks + evict keys into a fresh
         epoch-partitioned base at ``batch`` — O(live rows), amortized over
@@ -385,12 +425,19 @@ class StateStore:
         live = self.read(table, batch, schema)
         shutil.rmtree(self._path(table, batch), ignore_errors=True)
         shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
+        bp = self._base_path(table, batch)
         (
             live.repartition(8, "decided_batch")
             .write.mode("overwrite")
             .partitionBy("decided_batch")
-            .parquet(self._base_path(table, batch))
+            .parquet(bp)
         )
+        # zero live rows → dynamic partitioning wrote no files at all,
+        # which is unreadable; fall back to a plain schema-bearing empty
+        if not any(n.startswith("decided_batch=") for n in os.listdir(bp)):
+            self.spark.createDataFrame([], schema=schema).write.mode(
+                "overwrite"
+            ).parquet(bp)
 
     def n_epochs_since_floor(self, table: str, batch: int) -> int:
         floor, epochs, _ = self._epoch_parts(table, batch)
@@ -398,16 +445,13 @@ class StateStore:
 
     # -- read ---------------------------------------------------------------
 
-    def _has_epochs(self, table: str, batch: int) -> bool:
-        _, epochs, evicts = self._epoch_parts(table, batch)
-        return bool(epochs or evicts) or self.read_evmeta(table, batch) is not None
-
     def read(self, table: str, batch: int | None, schema: T.StructType | None = None) -> DataFrame | None:
         """Live rows of ``table`` as of committed version ``batch``
         (time-travel: any committed version resolves, not just the
         latest). None/missing → empty-with-schema or None."""
         if batch is not None:
-            epochal = self._has_epochs(table, batch)
+            _, epochs, evicts = self._epoch_parts(table, batch)
+            epochal = bool(epochs or evicts)
             p = self._path(table, batch)
             if os.path.isdir(p) and not epochal:  # exact legacy — fast path
                 return self.spark.read.parquet(p)
@@ -424,7 +468,9 @@ class StateStore:
             elif base is not None or deltas:
                 floor_df = self._resolve(base, deltas, schema, key="doc_id")
             if epochal:
-                return self._read_epochal(table, batch, floor_df, schema)
+                return self._read_epochal(
+                    table, batch, floor_df, schema, epochs, evicts
+                )
             if floor_df is not None:
                 return floor_df
         if schema is not None:
@@ -491,10 +537,25 @@ class StateStore:
             return
         bv, _ = base
         tdir = os.path.join(self.dir, table)
-        for v, p in list(_list_versions(os.path.join(tdir, "delta")).items()):
-            if v <= bv:
-                shutil.rmtree(p, ignore_errors=True)
+        for sub in ("delta", "epoch", "evict"):
+            for v, p in list(_list_versions(os.path.join(tdir, sub)).items()):
+                if v <= bv:
+                    shutil.rmtree(p, ignore_errors=True)
         for sub in ("", "base"):
             for v, p in list(_list_versions(os.path.join(tdir, sub) if sub else tdir).items()):
                 if v < bv:
                     shutil.rmtree(p, ignore_errors=True)
+        # evmeta files strictly below the base can go — the base bakes the
+        # watermark as of its version, and every epoch batch writes a fresh
+        # evmeta, so reads above bv still find the newest one
+        try:
+            for name in os.listdir(os.path.join(tdir, "evmeta")):
+                if name.startswith("v=") and name.endswith(".json"):
+                    try:
+                        v = int(name[2:-5])
+                    except ValueError:
+                        continue
+                    if v < bv:
+                        os.remove(os.path.join(tdir, "evmeta", name))
+        except FileNotFoundError:
+            pass

@@ -70,13 +70,28 @@ def _policy_eval(p, agg, merged_priority):
     raise ValueError(typ)
 
 
-def simulate(policies, batches, primary_cap=10**9, secondary_cap=10**9):
+def simulate(
+    policies,
+    batches,
+    primary_cap=10**9,
+    secondary_cap=10**9,
+    sampled_cache_cap=10**9,
+    non_sampled_cache_cap=10**9,
+):
     """policies: list of dicts with name/type/params (+emit_placeholder).
     batches: list of lists of span dicts (doc_id, span_id, parent, start,
     end, status, threshold(None|int), is_decision, decision_value,
-    tokens_key). Returns (routed rows, decision_state, pending docs)."""
+    tokens_key). Returns (routed rows, decision_state, pending docs).
+
+    Decision-cache capacity models the engine's FIFO-by-epoch eviction
+    (decisions are immutable and never recency-refreshed, so LRU order ≡
+    insertion order; see pipeline.py job_decision_state): at the end of
+    each batch every kind keeps its newest ``cap`` decisions by
+    (decided_batch desc, doc_id desc); evicted docs are forgotten — late
+    spans re-evaluate from scratch, the reference's full-LRU behavior
+    (lru_cache.go:94-99 + processor.go:408-430)."""
     pend: dict[str, Pend] = {}
-    decisions: dict[str, tuple[int, str]] = {}
+    decisions: dict[str, tuple[int, str, int]] = {}  # doc -> (dec, policy, batch)
     routed = []  # (sink, doc_id, tokens_key, reason)
 
     def release(doc, sink, reason):
@@ -96,11 +111,11 @@ def simulate(policies, batches, primary_cap=10**9, secondary_cap=10**9):
                 continue
             first = min(ds, key=lambda s: s["span_id"])
             if first["decision_value"]:
-                decisions[doc] = (D.SAMPLED, "__decision_span__")
+                decisions[doc] = (D.SAMPLED, "__decision_span__", b)
                 if doc in pend:
                     release(doc, "keep", "decision_span_release")
             else:
-                decisions[doc] = (D.NOT_SAMPLED, "__decision_span__")
+                decisions[doc] = (D.NOT_SAMPLED, "__decision_span__", b)
                 if doc in pend:
                     release(doc, "drop", "decision_span_drop")
 
@@ -148,13 +163,13 @@ def simulate(policies, batches, primary_cap=10**9, secondary_cap=10**9):
                     break
 
             if final == D.SAMPLED:
-                decisions[doc] = (D.SAMPLED, pol["name"])
+                decisions[doc] = (D.SAMPLED, pol["name"], b)
                 if cached:
                     release(doc, "keep", "sampled_cached")
                 for s in ss:
                     routed.append(("keep", doc, s["tokens_key"], "sampled"))
             elif final == D.NOT_SAMPLED:
-                decisions[doc] = (D.NOT_SAMPLED, pol["name"])
+                decisions[doc] = (D.NOT_SAMPLED, pol["name"], b)
                 if pol.get("emit_placeholder"):
                     routed.append(("keep", doc, None, "not_sampled_placeholder"))
                 if cached:
@@ -185,7 +200,18 @@ def simulate(policies, batches, primary_cap=10**9, secondary_cap=10**9):
             ]
             members.sort(reverse=True)
             for _, _, doc in members[cap:]:
-                decisions[doc] = (D.NOT_SAMPLED, "__evicted__")
+                decisions[doc] = (D.NOT_SAMPLED, "__evicted__", b)
                 release(doc, "low_priority" if tier == "secondary" else "drop", f"evicted_{tier}")
+
+        # 5. decision-cache capacity (FIFO by insertion epoch; within the
+        # boundary epoch lowest doc_ids fall first — the engine's
+        # [desc decided_batch, desc doc_id] keep-order)
+        for kind, cap in ((D.SAMPLED, sampled_cache_cap), (D.NOT_SAMPLED, non_sampled_cache_cap)):
+            members = sorted(
+                ((db, doc) for doc, (d, _p, db) in decisions.items() if d == kind),
+                reverse=True,
+            )
+            for _db, doc in members[cap:]:
+                del decisions[doc]
 
     return routed, decisions, pend

@@ -188,6 +188,6 @@ def test_differential_vs_simulator(spark, tmp_path_factory, sc):
     got_dec = {
         r.doc_id: r.decision for r in pipe.store.read("decision_state", last).collect()
     }
-    assert got_dec == {doc: d for doc, (d, _p) in dec.items()}
+    assert got_dec == {doc: d for doc, (d, _p, _b) in dec.items()}
     got_pend = {r.doc_id for r in pipe.store.read("pending_state", last).collect()}
     assert got_pend == set(pend)

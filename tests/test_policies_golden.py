@@ -229,7 +229,8 @@ SPAN_SCHEMA = (
     " status_id int, threshold_len int, threshold_value long, is_root boolean,"
     " source string, name string, attrs map<string,string>,"
     " event_name string, event_attrs map<string,string>,"
-    " resource_attrs map<string,string>, kind int"
+    " resource_attrs map<string,string>, kind int,"
+    " scope_name string, scope_version string"
 )
 
 
@@ -252,6 +253,8 @@ def span_row(**over):
         event_attrs=None,
         resource_attrs={"service.name": "svc"},
         kind=1,
+        scope_name="otelhttp",
+        scope_version="0.49.0",
     )
     base.update(over)
     return base
@@ -455,3 +458,136 @@ def test_ottl_wave4_build_errors():
         OTTLCondition(name="o", span_conditions=['ConvertCase(name, "snake") == "x"'])
     with pytest.raises(PolicyError, match="unknown converter"):
         OTTLCondition(name="o", span_conditions=['Truncate(name, 3) == "spa"'])
+
+
+# --- OTTL wave 5 (round 4): scope paths, IsRootSpan, Is* predicates,
+# error_mode=propagate (ottl.go:42-120 error path → decider.go:46-48) ---------
+
+
+@pytest.mark.parametrize(
+    "span_conds,spans,expected",
+    [
+        # instrumentation_scope paths (deterministic fixture, codec.SCOPE_INFO)
+        (['instrumentation_scope.name == "otelhttp"'], [dict()], D.SAMPLED),
+        (['instrumentation_scope.name == "otelsql"'], [dict()], D.PENDING),
+        (
+            ['instrumentation_scope.version >= "0.49.0"'],
+            [dict(scope_version="0.49.0")],
+            D.SAMPLED,
+        ),
+        # IsRootSpan (ottlfuncs, wired by the reference's standardSpanFuncs)
+        (["IsRootSpan()"], [dict(is_root=True)], D.SAMPLED),
+        (["IsRootSpan()"], [dict(is_root=False)], D.PENDING),
+        (['IsRootSpan() and status.code == 2'], [dict(is_root=True, status_id=2)], D.SAMPLED),
+        # type predicates: static pdata types + runtime presence
+        (['IsString(attributes["k"])'], [dict(attrs={"k": "v"})], D.SAMPLED),
+        (['IsString(attributes["k"])'], [dict(attrs={})], D.PENDING),
+        (["IsInt(start_time_unix_nano)"], [dict()], D.SAMPLED),
+        (["IsString(start_time_unix_nano)"], [dict()], D.PENDING),
+        (["IsDouble(Double(attributes[\"n\"]))"], [dict(attrs={"n": "1.5"})], D.SAMPLED),
+        (["IsBool(IsRootSpan())"], [dict()], D.SAMPLED),
+    ],
+)
+def test_ottl_wave5_golden(spark, span_conds, spans, expected):
+    pol = OTTLCondition(name="ottl_w5", span_conditions=span_conds)
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+def test_ottl_wave5_build_errors():
+    with pytest.raises(PolicyError):
+        # IsRootSpan is a span-context converter (standardSpanEventFuncs
+        # does not register it)
+        OTTLCondition(name="o", span_event_conditions=["IsRootSpan()"])
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o", span_conditions=["x == 1"], error_mode="bogus")
+
+
+# The observable propagate-vs-ignore divergence (same condition, same
+# trace): span A (earlier order) errors, span B (later) matches.
+# ignore → the errored condition is false, B samples the trace;
+# propagate → evaluation stops at A with an error → Unspecified →
+# the decider logs and continues (no sample from this policy).
+_DIVERGE_COND = 'Int(attributes["n"]) == 7'
+_DIVERGE_SPANS = [
+    dict(span_id=1, start_ts=100, attrs={"n": "not-a-number"}),  # errors first
+    dict(span_id=2, start_ts=200, attrs={"n": "7"}),  # matches later
+]
+_MATCH_FIRST = [
+    dict(span_id=1, start_ts=100, attrs={"n": "7"}),  # matches first
+    dict(span_id=2, start_ts=200, attrs={"n": "not-a-number"}),  # errors later
+]
+
+
+def eval_ottl_policy(spark, pol, spans) -> int:
+    """The POLICY's own decision (policy_decisions[0]) — Unspecified is
+    non-decisive, so the final trace decision would mask it."""
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    df = spark.createDataFrame([span_row(**s) for s in spans], schema=SPAN_SCHEMA)
+    merged = merge_with_pending(aggregate_batch(df, [pol]), None)
+    out = make_decision(merged, [pol]).collect()
+    assert len(out) == 1
+    return out[0].policy_decisions[0]
+
+
+@pytest.mark.parametrize(
+    "error_mode,spans,expected",
+    [
+        ("ignore", _DIVERGE_SPANS, D.SAMPLED),
+        ("propagate", _DIVERGE_SPANS, D.UNSPECIFIED),
+        # match BEFORE the error in span order: both modes sample
+        # (propagate stops at the first deciding span — the match)
+        ("ignore", _MATCH_FIRST, D.SAMPLED),
+        ("propagate", _MATCH_FIRST, D.SAMPLED),
+        # error only, no match: ignore → Pending, propagate → Unspecified
+        ("ignore", [_DIVERGE_SPANS[0]], D.PENDING),
+        ("propagate", [_DIVERGE_SPANS[0]], D.UNSPECIFIED),
+        # clean spans: identical in both modes
+        ("propagate", [dict(attrs={"n": "7"})], D.SAMPLED),
+        ("propagate", [dict(attrs={"n": "5"})], D.PENDING),
+        ("propagate", [dict(attrs={})], D.PENDING),  # absent → nil, no error
+    ],
+)
+def test_ottl_error_mode_golden(spark, error_mode, spans, expected):
+    pol = OTTLCondition(
+        name="ottl_em", span_conditions=[_DIVERGE_COND], error_mode=error_mode
+    )
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # Substring out of range errors (func_substring bounds)
+        ('Substring(name, 0, 99) == "x"', [dict(name="short")], D.UNSPECIFIED),
+        # IsMatch over an absent value errors (StandardStringLikeGetter nil)
+        ('IsMatch(attributes["missing"], "a.*")', [dict(attrs={})], D.UNSPECIFIED),
+        # arithmetic over a present non-numeric value errors
+        ('attributes["n"] + 1 > 0', [dict(attrs={"n": "NaNope"})], D.UNSPECIFIED),
+        # ...but over an ABSENT value it is nil, not an error
+        ('attributes["n"] + 1 > 0', [dict(attrs={})], D.PENDING),
+    ],
+)
+def test_ottl_propagate_error_sources(spark, cond, spans, expected):
+    pol = OTTLCondition(name="ottl_errs", span_conditions=[cond], error_mode="propagate")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+def test_ottl_propagate_decider_continues(spark):
+    """An erroring propagate policy is non-decisive: the decider falls
+    through to the next policy (decider.go:46-48 log-and-continue)."""
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    p1 = OTTLCondition(
+        name="erroring", span_conditions=[_DIVERGE_COND], error_mode="propagate"
+    )
+    p2 = SpanCount(name="fallback", min_spans=1)
+    df = spark.createDataFrame(
+        [span_row(attrs={"n": "boom"})], schema=SPAN_SCHEMA
+    )
+    merged = merge_with_pending(aggregate_batch(df, [p1, p2]), None)
+    out = make_decision(merged, [p1, p2]).collect()[0]
+    assert out.decision == D.SAMPLED and out.policy == "fallback"
+    assert list(out.policy_decisions) == [D.UNSPECIFIED, D.SAMPLED]

@@ -129,3 +129,45 @@ def test_run_empty_input(spark, tmp_path):
         F.lit(False)
     )
     assert pipe.run(empty) == []
+
+
+def test_ottl_propagate_error_metric(spark, tmp_path):
+    """error_mode=propagate surfaces evaluation errors into the metrics
+    table (policy_decisions with an error dimension) — the reference's
+    decider warn-log (decider.go:46-48) made observable."""
+    policies = parse_policies([
+        {
+            "name": "errprone",
+            "type": "ottl_condition",
+            "ottl_condition": {
+                "span": ['Int(attributes["env"]) == 7'],  # env="prod" → strconv error
+                "error_mode": "propagate",
+            },
+        },
+        {"name": "fallback", "type": "span_count", "span_count": {"min_spans": 1}},
+    ])
+    pipe = SamplingPipeline(
+        spark, policies, EngineConfig(),
+        checkpoint_dir=str(tmp_path / "pm" / "ck"),
+        output_dir=str(tmp_path / "pm" / "out"),
+    )
+    spans = [
+        dict(doc_id=trace_id(8100), span_id=1, attr_code=1, batch_idx=0),  # env attr → error
+        dict(doc_id=trace_id(8101), span_id=2, attr_code=0, batch_idx=0),  # no attr → nil
+    ]
+    pipe.run(seq_table_from_spans(spark, spans))
+    rows = pipe.store.read("metrics", 0).collect()
+    errs = [
+        r for r in rows
+        if r.metric == "policy_decisions" and r.labels.get("error") == "true"
+    ]
+    assert len(errs) == 1
+    assert errs[0].labels["policy"] == "errprone"
+    assert errs[0].labels["decision"] == "Unspecified"
+    assert errs[0].value == 1
+    # the decider continued: both traces sampled by the fallback policy
+    kept = {
+        r.doc_id: r.policy
+        for r in pipe.read_sink("keep").collect()
+    }
+    assert kept == {trace_id(8100): "fallback", trace_id(8101): "fallback"}
