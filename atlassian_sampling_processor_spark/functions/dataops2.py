@@ -116,6 +116,112 @@ def _sql_dedup_groups() -> str:
 
 
 # ---------------------------------------------------------------------------
+# 1b. alternating large-star / small-star connected components
+#
+# The round-boundedly-iterative swap-in the propagation docstring names:
+# Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC
+# '14). Min-label propagation converges in O(diameter) joins — fine for
+# near-dup graphs (unions of small cliques, diameter 2–4), pathological
+# for chain-shaped graphs. Large-star/small-star converges in O(log² n)
+# rounds regardless of diameter: each round every vertex rewires its
+# larger neighbours to its local minimum (large-star over the symmetric
+# edge list), then its smaller neighbours to the group minimum
+# (small-star over the larger→smaller canonical list). The fixed point
+# is a forest of 2-level stars whose centres are the component minima.
+
+
+def cc_labels_star(
+    spark, vertices: DataFrame, pairs: DataFrame, max_iters: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star.
+
+    ``vertices``: (doc_id); ``pairs``: undirected candidate edges
+    (doc_a, doc_b). Returns (labels(doc_id, comp), rounds). Each round
+    is two shuffle joins over the current edge list; convergence is the
+    fixed point of the edge multiset (count + order-insensitive hash).
+    """
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def stats(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    prev = stats(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: symmetric list; every strictly-larger neighbour of
+        # u rewires to m = min(N(u) ∪ {u}) — output is larger→smaller
+        # canonical by construction (v > u ≥ m)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mv"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: per u-group over the canonical list, the min-edge
+        # row stands in for (u, m) and every other row rewires (v, m)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mv"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(
+                F.when(F.col("v") == F.col("mv"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("mv").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = ss
+        cur = stats(edges)
+        if cur == prev:
+            break
+        prev = cur
+    roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("comp"))
+    labels = vertices.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("comp")
+    )
+    return labels, rounds
+
+
+def q_dedup_groups_star(spark, sf_dir) -> DataFrame:
+    """Same contract and oracle as q_dedup_groups, computed with the
+    large-star/small-star algorithm — the diameter-independent scale
+    path for pathological (chain-shaped) duplicate graphs."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_sim") >= CC_SIM_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = cc_labels_star(spark, docs(spark, sf_dir).select("doc_id"), pairs)
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("canonical_id"),
+        (F.col("comp") < F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2. stratified sampling: deterministic per-source top-K by salted hash
 
 SAMPLE_K = 20
@@ -559,6 +665,7 @@ def _sql_text_quality_ref() -> str:
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
+        "dedup_groups_star": (q_dedup_groups_star, _sql_dedup_groups()),
         "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
         "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

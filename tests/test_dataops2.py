@@ -85,3 +85,57 @@ def test_doc_length_quantiles_exact(spark, tiny_docs_dir):
     rows = {r["source"]: r for r in d2.q_doc_length_quantiles(spark, tiny_docs_dir).collect()}
     assert rows["src1"]["n_docs"] == len(src1)
     assert rows["src1"]["p50"] == float(src1[len(src1) // 2])  # odd count → middle order stat
+
+
+def test_star_cc_matches_propagation(spark, tiny_docs_dir):
+    """Large-star/small-star CC (round 4) produces the same canonical
+    labels as min-label propagation on the clique corpus."""
+    a = {
+        (r.doc_id, r.canonical_id, r.is_duplicate)
+        for r in d2.q_dedup_groups(spark, tiny_docs_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.canonical_id, r.is_duplicate)
+        for r in d2.q_dedup_groups_star(spark, tiny_docs_dir).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_chain_graph_round_bound(spark):
+    """The reason the algorithm exists: a 1000-node chain has diameter
+    999 — min-label propagation would need ~999 joins; alternating
+    large-star/small-star must collapse it to one component in O(log² n)
+    rounds (well under 15 here)."""
+    n = 1000
+    ids = [f"{i:05d}" for i in range(n)]
+    verts = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "doc_a string, doc_b string"
+    )
+    labels, rounds = d2.cc_labels_star(spark, verts, chain)
+    got = {r.doc_id: r.comp for r in labels.collect()}
+    assert set(got.values()) == {ids[0]}  # one component, min id canonical
+    assert len(got) == n
+    assert rounds <= 15, f"star CC took {rounds} rounds on a 1000-chain"
+
+
+def test_star_cc_disjoint_components(spark):
+    """Mixed shapes: two chains + a clique + singletons — exact labels."""
+    edges = [
+        ("b", "a"), ("c", "b"),            # chain a-b-c
+        ("x", "y"), ("y", "z"),            # chain x-y-z
+        ("p", "q"), ("q", "r"), ("p", "r"),  # triangle p-q-r
+    ]
+    verts = spark.createDataFrame(
+        [(v,) for v in "abcxyzpqr"] + [("solo",)], "doc_id string"
+    )
+    labels, _ = d2.cc_labels_star(
+        spark, verts, spark.createDataFrame(edges, "doc_a string, doc_b string")
+    )
+    got = {r.doc_id: r.comp for r in labels.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p", "r": "p",
+        "solo": "solo",
+    }
