@@ -221,3 +221,39 @@ def generate_sequences_parquet(
     if writer is not None:
         writer.close()
     return path
+
+
+def generate_clustered_embeddings_parquet(
+    path: str,
+    n_vecs: int = 20_000,
+    dim: int = 64,
+    n_clusters: int = 8,
+    sigma: float = 0.25,
+    seed: int = 11,
+) -> str:
+    """Embeddings with PLANTED Gaussian clusters (the structure real
+    embedding corpora have and the driver's synthetic `embeddings` table
+    lacks — its top-1 cosine ≈ 0.4 ≈ random, so any ANN recall there is
+    bounded by the scan fraction). Cluster centres are random unit
+    vectors; members are centre + N(0, sigma²) noise, L2-normalized.
+    `label` records the true cluster for diagnostics. Same schema as the
+    driver's table: (vec_id long, embedding float[], label int)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n_vecs)
+    vecs = centers[labels] + sigma * rng.normal(size=(n_vecs, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+            "embedding": pa.array(list(vecs.astype(np.float32))),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(tbl, path, compression="snappy")
+    return path

@@ -634,14 +634,35 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
 
 
-def q_similarity_ivf(spark, sf_dir):
-    """IVF top-3: assign every vector to its nearest centroid (by dot
-    product — monotone for ranking against fixed centroids), probe the 2
-    best cells per query (vec_id < 5), brute-force cosine inside them."""
-    e = emb(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    cents = _centroids()
+def kmeans_centroids(vectors, k: int, iters: int = 15, seed: int = 0):
+    """Driver-side Lloyd's k-means → IVF coarse quantizer. The standard
+    IVF build trains the quantizer on a SAMPLE (faiss-style: ~k·256
+    points suffices), so driver-side numpy is the honest scale shape —
+    at 100 TB you sample a few hundred thousand rows, never the corpus.
+    Returned centroids are L2-normalized so max-dot-product assignment
+    (what the probe uses) agrees with the Euclidean argmin k-means
+    optimized, i.e. spherical k-means on unit-norm inputs."""
+    import numpy as np
+
+    v = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = v[rng.choice(len(v), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = v[a == j]
+            if len(m):
+                cents[j] = m.mean(0)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_topk_df(e, cents, n_probe: int, k: int, n_queries: int):
+    """Generalized IVF probe over ``e`` (vec_id, v: array<double>):
+    assign every vector to its best centroid by dot product (monotone
+    for ranking against fixed centroids), probe each query's ``n_probe``
+    best cells, brute-force cosine inside them, keep top ``k``."""
 
     def cell_rank(vcol, rank):
         # index of the rank-th largest centroid dot product (ties → lower idx)
@@ -653,10 +674,10 @@ def q_similarity_ivf(spark, sf_dir):
         return F.element_at(ordered, rank + 1)["i"]
 
     assigned = e.select("vec_id", "v", cell_rank(F.col("v"), 0).alias("cell"))
-    queries = assigned.filter(F.col("vec_id") < 5).select(
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.array(cell_rank(F.col("v"), 0), cell_rank(F.col("v"), 1)).alias("probe_cells"),
+        F.array(*[cell_rank(F.col("v"), r) for r in range(n_probe)]).alias("probe_cells"),
     )
     cand = queries.join(
         assigned, F.array_contains(F.col("probe_cells"), F.col("cell")), "inner"
@@ -668,9 +689,19 @@ def q_similarity_ivf(spark, sf_dir):
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("score"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF top-3: assign every vector to its nearest centroid (by dot
+    product — monotone for ranking against fixed centroids), probe the 2
+    best cells per query (vec_id < 5), brute-force cosine inside them."""
+    e = emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return ivf_topk_df(e, _centroids(), n_probe=2, k=3, n_queries=5)
 
 
 def _sql_similarity_ivf() -> str:

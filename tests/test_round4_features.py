@@ -190,3 +190,42 @@ def test_plans_audit_covers_all_queries():
     expected = set(entry.queries().keys())
     missing = expected - audited
     assert not missing, f"queries missing from PLANS.md cartesian audit: {sorted(missing)}"
+
+
+def test_ivf_clustered_recall(spark, tmp_path):
+    """On clustered data the IVF probe must beat the scan-fraction
+    bound: 4 planted clusters, probe 1 of 4 cells (25% scan) → recall@5
+    well above 0.25 (expect ~0.9)."""
+    import numpy as np
+
+    from atlassian_sampling_processor_spark.datagen import (
+        generate_clustered_embeddings_parquet,
+    )
+    from atlassian_sampling_processor_spark.functions.dataops import (
+        ivf_topk_df,
+        kmeans_centroids,
+    )
+
+    path = generate_clustered_embeddings_parquet(
+        str(tmp_path / "embeddings.parquet"), n_vecs=1500, n_clusters=4, seed=5
+    )
+    import pyarrow.parquet as pq
+
+    vecs = np.stack(
+        pq.read_table(path).column("embedding").to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    n_q, k = 20, 5
+    sims = vecs[:n_q] @ vecs.T
+    np.fill_diagonal(sims[:, :n_q], -np.inf)
+    exact = {qi: set(np.argsort(-sims[qi])[:k].tolist()) for qi in range(n_q)}
+
+    cents = kmeans_centroids(vecs[::3], 4, seed=1)
+    e = spark.read.parquet(path).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    got = {}
+    for r in ivf_topk_df(e, cents, n_probe=1, k=k, n_queries=n_q).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[qi] & got.get(qi, set())) for qi in range(n_q))
+    recall = hits / (n_q * k)
+    assert recall > 0.7, f"clustered recall@5 at 25% scan = {recall}"
