@@ -662,10 +662,103 @@ def _sql_text_quality_ref() -> str:
     return _sql_text_quality()
 
 
+# ---------------------------------------------------------------------------
+# 8. context-window chunking (round 4): the step between dedup/quality
+# and tokenization in a training pipeline — split every document into
+# fixed-token windows with overlap for a model's context length.
+# Pure Catalyst (split → sequence → explode → slice): a narrow map with
+# no shuffle at all; at 100 TB this pipelines with the parquet scan.
+
+CHUNK_W = 32  # window length (tokens)
+CHUNK_S = 24  # stride (overlap = W - S = 8)
+
+
+def q_doc_chunking(spark, sf_dir) -> DataFrame:
+    """(doc_id, chunk_idx, n_tok, chunk_text): windows of CHUNK_W
+    whitespace tokens starting at multiples of CHUNK_S; the last window
+    of a doc may be short (start < n_tokens guaranteed)."""
+    d = docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size(toks) - 1) / CHUNK_S).cast("int")
+    )
+    ch = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("chunk_idx")
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_S + 1, F.lit(CHUNK_W)
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tok"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+def _sql_doc_chunking() -> str:
+    return f"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ),
+      c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                 0, CAST(floor((len(toks) - 1) / {CHUNK_S}) AS INT))) AS chunk_idx
+        FROM t
+      )
+      SELECT doc_id,
+             CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(len(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                                 chunk_idx * {CHUNK_S} + {CHUNK_W})) AS BIGINT) AS n_tok,
+             array_to_string(list_slice(toks, chunk_idx * {CHUNK_S} + 1,
+                                        chunk_idx * {CHUNK_S} + {CHUNK_W}), ' ') AS chunk_text
+      FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# 9. benchmark-contamination check (round 4): flag documents containing
+# any of a probe-phrase set (eval-set n-grams). A narrow map over a
+# broadcast-sized probe list; at 100 TB with large probe sets this
+# becomes the n-gram-fingerprint join (doc_fingerprint_rolling ⋈ probe
+# fingerprints) — this operator is the exact small-probe-set path.
+
+CONTAM_PROBES = ["big vector", "fast key", "table part", "value table"]
+
+
+def q_contamination(spark, sf_dir) -> DataFrame:
+    d = docs(spark, sf_dir)
+    hits = None
+    for p in CONTAM_PROBES:
+        h = F.contains(F.col("text"), F.lit(p)).cast("int")
+        hits = h if hits is None else hits + h
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("n_probe_hits"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
+def _sql_contamination() -> str:
+    terms = " + ".join(
+        f"CASE WHEN position('{p}' IN text) > 0 THEN 1 ELSE 0 END"
+        for p in CONTAM_PROBES
+    )
+    return f"""
+      SELECT doc_id,
+             CAST({terms} AS BIGINT) AS n_probe_hits,
+             ({terms}) > 0 AS contaminated
+      FROM documents
+    """
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
         "dedup_groups_star": (q_dedup_groups_star, _sql_dedup_groups()),
+        "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
+        "contamination_check": (q_contamination, _sql_contamination()),
         "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
         "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

@@ -18,9 +18,16 @@ plus the forms real configs hit immediately beyond them:
   ``Substring(target, start, length)`` (0-based start, per
   ottlfuncs/func_substring.go), ``ConvertCase(target, "upper"|"lower")``,
   ``Concat([a, b, ...], "delim")`` (nil parts skipped, concat_ws
-  semantics), and the cast converters ``Int``/``Double``/``String``
+  semantics), the cast converters ``Int``/``Double``/``String``
   (``Int``/``Double`` are try-casts: a non-numeric value becomes nil,
-  which the comparison rules then treat as absent).
+  which the comparison rules then treat as absent); wave 5 (round 4):
+  ``IsRootSpan()`` (span context, as the reference wires it),
+  ``IsString``/``IsInt``/``IsDouble``/``IsBool`` (static pdata types +
+  runtime presence), ``ParseJSON(target)["key"]["sub"]`` (lazy per-key
+  get_json_object; invalid JSON → nil in ignore mode, an eval error in
+  propagate mode), and ``error_mode: propagate`` itself
+  (:func:`error_column` recovers where the total compiled expressions
+  absorbed what the reference's evaluator would surface as errors).
 
 Paths supported per context (the columns the pipeline carries):
 span: ``attributes["k"]``, ``resource.attributes["k"]``, ``name``,
@@ -277,6 +284,24 @@ class _Parser:
                 target = self.parse_operand()
                 self._expect("rparen")
                 return ("istype", v[2:].lower(), target)
+            if v == "ParseJSON":  # ottlfuncs func_parse_json: string →
+                # map; indexable with the ["key"] postfix. Resolution is
+                # lazy per key (get_json_object) — the map itself is
+                # never materialized.
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                node = ("parsejson", target)
+                while self._peek()[0] == "lbracket":
+                    self._next()
+                    key = _unquote(self._expect("string"))
+                    self._expect("rbracket")
+                    node = ("jsonget", node, key)
+                if node[0] == "parsejson":
+                    raise PolicyError(
+                        f"OTTL: ParseJSON(...) must be indexed with [\"key\"] in {self.src!r}"
+                    )
+                return node
             if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
@@ -350,12 +375,27 @@ def _path_column(parts: list[str], ctx: str) -> Column:
     return F.col(paths[head])
 
 
+def _json_path(ast) -> tuple:
+    """('jsonget' chain) → (inner target ast, '$.a.b' JSONPath)."""
+    keys = []
+    node = ast
+    while node[0] == "jsonget":
+        keys.append(node[2])
+        node = node[1]
+    return node[1], "$." + ".".join(reversed(keys))
+
+
 def _operand_column(ast, ctx: str) -> Column:
     kind = ast[0]
     if kind == "lit":
         return F.lit(ast[1])
     if kind == "path":
         return _path_column(ast[1], ctx)
+    if kind == "jsonget":
+        target, path = _json_path(ast)
+        # lazy per-key resolution; absent key / invalid JSON → NULL →
+        # the comparison rules absorb it (nil semantics)
+        return F.get_json_object(_operand_column(target, ctx).cast("string"), path)
     if kind == "len":
         # Len() of a missing value is nil in OTTL → NULL column propagates
         # into the comparison's absent-value rules
@@ -447,7 +487,7 @@ def _static_type(ast) -> str:
         return "int" if l == "int" and r == "int" else "double"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
-    return "string"  # substr/case/concat
+    return "string"  # substr/case/concat/jsonget
 
 
 def _is_numeric_lit(ast) -> bool:
@@ -521,6 +561,8 @@ def validate_paths(ast, ctx: str) -> None:
         validate_paths(ast[1], ctx)
     elif kind in ("cast", "istype"):
         validate_paths(ast[2], ctx)
+    elif kind == "jsonget":
+        validate_paths(_json_path(ast)[0], ctx)
     elif kind == "isroot":
         if ctx != "span":  # the reference wires it for span funcs only
             raise PolicyError("OTTL: IsRootSpan() is a span-context converter")
@@ -564,6 +606,13 @@ def error_column(ast, ctx: str) -> Column:
         return error_column(ast[1], ctx) | tgt.isNull()
     if kind == "istype":
         return error_column(ast[2], ctx)
+    if kind == "jsonget":
+        # ParseJSON on a present non-JSON value errors in the reference
+        # (func_parse_json unmarshal failure)
+        target, _ = _json_path(ast)
+        tgt = _operand_column(target, ctx).cast("string")
+        bad = tgt.isNotNull() & F.get_json_object(tgt, "$").isNull()
+        return error_column(target, ctx) | F.coalesce(bad, f)
     if kind == "len":
         return error_column(ast[1], ctx)
     if kind == "case":

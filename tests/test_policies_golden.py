@@ -591,3 +591,64 @@ def test_ottl_propagate_decider_continues(spark):
     out = make_decision(merged, [p1, p2]).collect()[0]
     assert out.decision == D.SAMPLED and out.policy == "fallback"
     assert list(out.policy_decisions) == [D.UNSPECIFIED, D.SAMPLED]
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # ParseJSON + ["key"] indexing (ottlfuncs func_parse_json)
+        (
+            'ParseJSON(attributes["payload"])["user"] == "alice"',
+            [dict(attrs={"payload": '{"user": "alice", "n": 3}'})],
+            D.SAMPLED,
+        ),
+        (
+            'ParseJSON(attributes["payload"])["n"] == 3',
+            [dict(attrs={"payload": '{"user": "alice", "n": 3}'})],
+            D.SAMPLED,
+        ),
+        # nested key chain
+        (
+            'ParseJSON(attributes["payload"])["a"]["b"] == "x"',
+            [dict(attrs={"payload": '{"a": {"b": "x"}}'})],
+            D.SAMPLED,
+        ),
+        # absent key → nil → comparison false; != nil presence semantics
+        (
+            'ParseJSON(attributes["payload"])["missing"] == "x"',
+            [dict(attrs={"payload": '{"a": 1}'})],
+            D.PENDING,
+        ),
+        (
+            'ParseJSON(attributes["payload"])["a"] != nil',
+            [dict(attrs={"payload": '{"a": 1}'})],
+            D.SAMPLED,
+        ),
+        # invalid JSON → nil in ignore mode (no runtime error)
+        (
+            'ParseJSON(attributes["payload"])["a"] == "x"',
+            [dict(attrs={"payload": "not json"})],
+            D.PENDING,
+        ),
+    ],
+)
+def test_ottl_parsejson_golden(spark, cond, spans, expected):
+    pol = OTTLCondition(name="pj", span_conditions=[cond])
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+def test_ottl_parsejson_propagate_and_build():
+    with pytest.raises(PolicyError):
+        # un-indexed ParseJSON has no scalar value in this grammar
+        OTTLCondition(name="o", span_conditions=['ParseJSON(attributes["p"]) == "x"'])
+
+
+def test_ottl_parsejson_propagate_error(spark):
+    """Invalid JSON on a present value is an eval error under propagate
+    (func_parse_json unmarshal failure)."""
+    pol = OTTLCondition(
+        name="pj", span_conditions=['ParseJSON(attributes["p"])["a"] == "x"'],
+        error_mode="propagate",
+    )
+    assert eval_ottl_policy(spark, pol, [dict(attrs={"p": "not json"})]) == D.UNSPECIFIED
+    assert eval_ottl_policy(spark, pol, [dict(attrs={})]) == D.PENDING  # absent → nil
