@@ -753,12 +753,53 @@ def _sql_contamination() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# 10. repetition quality stats (round 4): the Gopher-style repetition
+# filters (Rae et al. 2021 §A1.1) — duplicate-word fraction and
+# top-unigram fraction per document. One explode + two hash aggs keyed
+# on doc_id; partial aggregation collapses the word counts map-side.
+
+def q_doc_repetition(spark, sf_dir) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, top_word_frac): fraction of word
+    occurrences beyond each word's first, and the most frequent word's
+    share — high values flag boilerplate/degenerate docs."""
+    d = docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per_word = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
+
+
+def _sql_doc_repetition() -> str:
+    return """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ),
+      pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+      FROM pw GROUP BY doc_id
+    """
+
+
 def dataops2_queries() -> dict[str, tuple]:
     return {
         "dedup_groups_connected": (q_dedup_groups, _sql_dedup_groups()),
         "dedup_groups_star": (q_dedup_groups_star, _sql_dedup_groups()),
         "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
         "contamination_check": (q_contamination, _sql_contamination()),
+        "doc_repetition_stats": (q_doc_repetition, _sql_doc_repetition()),
         "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
         "heavy_hitter_bigrams": (q_heavy_hitter_bigrams, SQL_HEAVY_HITTER_BIGRAMS),
         "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),

@@ -284,6 +284,22 @@ class _Parser:
                 target = self.parse_operand()
                 self._expect("rparen")
                 return ("istype", v[2:].lower(), target)
+            if v == "Duration":  # ottlfuncs func_duration: Go duration
+                # string → time.Duration; comparisons against the
+                # unix-nano paths work because Duration is int64 nanos.
+                # Parsed at build time → a plain numeric literal.
+                self._expect("lparen")
+                s = _unquote(self._expect("string"))
+                self._expect("rparen")
+                from ..config import parse_duration
+
+                try:
+                    ns = int(round(parse_duration(s) * 1_000_000_000))
+                except Exception as exc:
+                    raise PolicyError(
+                        f"OTTL: Duration({s!r}) is not a valid Go duration: {exc}"
+                    ) from exc
+                return ("lit", ns)
             if v == "ParseJSON":  # ottlfuncs func_parse_json: string →
                 # map; indexable with the ["key"] postfix. Resolution is
                 # lazy per key (get_json_object) — the map itself is

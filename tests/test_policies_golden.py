@@ -652,3 +652,34 @@ def test_ottl_parsejson_propagate_error(spark):
     )
     assert eval_ottl_policy(spark, pol, [dict(attrs={"p": "not json"})]) == D.UNSPECIFIED
     assert eval_ottl_policy(spark, pol, [dict(attrs={})]) == D.PENDING  # absent → nil
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # Duration (ottlfuncs func_duration): Go duration → int64 nanos
+        (
+            'end_time_unix_nano - start_time_unix_nano > Duration("5ms")',
+            [dict(start_ts=0, end_ts=6_000_000)],
+            D.SAMPLED,
+        ),
+        (
+            'end_time_unix_nano - start_time_unix_nano > Duration("5ms")',
+            [dict(start_ts=0, end_ts=4_000_000)],
+            D.PENDING,
+        ),
+        (
+            '(end_time_unix_nano - start_time_unix_nano) >= Duration("1h30m")',
+            [dict(start_ts=0, end_ts=5_400_000_000_000)],
+            D.SAMPLED,
+        ),
+    ],
+)
+def test_ottl_duration_golden(spark, cond, spans, expected):
+    pol = OTTLCondition(name="dur", span_conditions=[cond])
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+def test_ottl_duration_build_error():
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o", span_conditions=['start_time_unix_nano > Duration("bogus")'])
