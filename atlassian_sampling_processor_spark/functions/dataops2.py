@@ -197,6 +197,13 @@ def cc_labels_star(
         if cur == prev:
             break
         prev = cur
+    else:
+        # a non-star edge set would fan out the label join into
+        # DUPLICATE rows per doc — never return silently-wrong labels
+        raise RuntimeError(
+            f"cc_labels_star did not converge in {max_iters} rounds "
+            "(O(log² n) expected — raise max_iters or inspect the graph)"
+        )
     roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("comp"))
     labels = vertices.join(roots, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("comp")

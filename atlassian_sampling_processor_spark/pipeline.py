@@ -577,16 +577,15 @@ class SamplingPipeline:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            # policy-error telemetry (error_mode=propagate): count traces
-            # whose evaluation errored per policy — the reference's
-            # log-and-continue warning (decider.go:46-48) surfaced as a
-            # metric dimension. Only policies the decider actually
-            # evaluated count (i ≤ decisive index), matching the loop.
-            prop = [
-                (i, p.name)
-                for i, p in enumerate(self.policies)
-                if getattr(p, "error_mode", "ignore") == "propagate"
-            ]
+            # policy-error telemetry: count traces whose evaluation
+            # errored (decision Unspecified) per TOP-LEVEL policy — the
+            # reference's log-and-continue warning (decider.go:46-48),
+            # which fires for ANY evaluator error, including a propagate
+            # OTTL nested inside and/root_spans/downgrader (the sub's
+            # Unspecified propagates to the composite's decision). Only
+            # policies the decider actually evaluated count (i ≤
+            # decisive index), matching the loop.
+            prop = [(i, p.name) for i, p in enumerate(self.policies)]
             agg_exprs = [
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("cached_span_count").isNotNull().cast("long")).alias("hits"),

@@ -576,6 +576,16 @@ def validate_paths(ast, ctx: str) -> None:
     elif kind in ("ismatch", "len", "substr", "case"):
         validate_paths(ast[1], ctx)
     elif kind in ("cast", "istype"):
+        if kind == "istype" and ast[1] != "string" and ast[2][0] == "jsonget":
+            # the reference's ParseJSON yields TYPED pcommon values (JSON
+            # numbers → double); this engine's lazy get_json_object only
+            # preserves strings, so a non-IsString type predicate over a
+            # JSON value would be a silent constant-false — fail loudly
+            raise PolicyError(
+                "OTTL: Is* type predicates over ParseJSON values are "
+                "unsupported (JSON scalar types are not preserved); "
+                "only IsString applies"
+            )
         validate_paths(ast[2], ctx)
     elif kind == "jsonget":
         validate_paths(_json_path(ast)[0], ctx)
@@ -602,17 +612,24 @@ def error_column(ast, ctx: str) -> Column:
     expression recovers WHERE those absorptions happened, for
     `propagate`: Int()/Double() over a present non-numeric value
     (strconv failure in ottlfuncs func_int/func_double), arithmetic over
-    a present non-numeric operand, Substring() out of range
-    (func_substring bounds errors), and IsMatch over an absent value
-    (the StandardStringLikeGetter nil error). Composition is err(l) |
-    err(r) — the contrib condition sequence surfaces an error from
-    either side."""
+    a present non-numeric operand, Substring()/ConvertCase()/Len() over
+    an absent value or out of range (the StandardStringGetter nil error
+    + func_substring bounds), and IsMatch over an absent value (the
+    StandardStringLikeGetter nil error). Boolean composition models the
+    contrib evaluator's SHORT-CIRCUIT: `or` never evaluates the right
+    term once the left is true, `and` never once the left is false, so
+    err(or) = err(l) | (¬val(l) ∧ err(r)) and err(and) = err(l) |
+    (val(l) ∧ err(r))."""
     kind = ast[0]
     f = F.lit(False)
     if kind in ("lit", "path", "isroot"):
         return f
-    if kind in ("and", "or"):
-        return error_column(ast[1], ctx) | error_column(ast[2], ctx)
+    if kind == "or":
+        lval = to_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | (~lval & error_column(ast[2], ctx))
+    if kind == "and":
+        lval = to_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | (lval & error_column(ast[2], ctx))
     if kind == "not":
         return error_column(ast[1], ctx)
     if kind == "cmp":
@@ -629,19 +646,22 @@ def error_column(ast, ctx: str) -> Column:
         tgt = _operand_column(target, ctx).cast("string")
         bad = tgt.isNotNull() & F.get_json_object(tgt, "$").isNull()
         return error_column(target, ctx) | F.coalesce(bad, f)
-    if kind == "len":
-        return error_column(ast[1], ctx)
-    if kind == "case":
-        return error_column(ast[1], ctx)
+    if kind in ("len", "case"):
+        # StandardStringGetter family: Get on a nil value errors
+        # (ottlfuncs func_len / func_convert_case unsupported-type path)
+        tgt = _operand_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | tgt.isNull()
     if kind == "concat":
+        # func_concat explicitly SKIPS nil parts (concat_ws semantics) —
+        # absent values are not errors here
         out = f
         for t in ast[1]:
             out = out | error_column(t, ctx)
         return out
     if kind == "substr":
         tgt = _operand_column(ast[1], ctx).cast("string")
-        oob = tgt.isNotNull() & (F.lit(ast[2] + ast[3]) > F.length(tgt))
-        return error_column(ast[1], ctx) | F.coalesce(oob, f)
+        oob = F.lit(ast[2] + ast[3]) > F.length(tgt)
+        return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(oob, f)
     if kind == "cast":
         child = error_column(ast[2], ctx)
         if ast[1] == "string":

@@ -770,10 +770,18 @@ SQL_OTTL_PROPAGATE = """
                 ELSE json_extract_string(props, '$.k') END AS v
     FROM events
   ), marks AS (
+    -- integer-STRICT cast mirror of Spark's try_cast(string as long):
+    -- DuckDB's TRY_CAST(v AS BIGINT) would ROUND decimal strings
+    -- ('42.5' -> 43) where Spark yields NULL, so gate the cast on an
+    -- integer-format regex to keep the engines in lockstep
     SELECT trace_key,
-           min(CASE WHEN v IS NOT NULL AND TRY_CAST(v AS BIGINT) IS NULL
+           min(CASE WHEN v IS NOT NULL
+                         AND NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')
                     THEN event_id END) AS first_err,
-           min(CASE WHEN TRY_CAST(v AS BIGINT) = 42 THEN event_id END) AS first_match
+           min(CASE WHEN v IS NOT NULL
+                         AND regexp_matches(trim(v), '^[+-]?[0-9]+$')
+                         AND TRY_CAST(trim(v) AS BIGINT) = 42
+                    THEN event_id END) AS first_match
     FROM spans GROUP BY trace_key
   )
   SELECT trace_key,

@@ -293,25 +293,29 @@ class StateStore:
             json.dump(meta, f)
         os.replace(tmp, self._evmeta_path(table, batch))
 
-    def read_evmeta(self, table: str, batch: int) -> dict | None:
-        """Newest evmeta at version ≤ batch (versioned like the data dirs,
-        so time-travel reads use the watermark as of that commit)."""
+    def _list_evmeta_versions(self, table: str) -> dict[int, str]:
+        """``{v: path}`` for the ``v=N.json`` evmeta files of ``table``."""
         d = os.path.join(self.dir, table, "evmeta")
-        best = None
+        out: dict[int, str] = {}
         try:
             for name in os.listdir(d):
                 if name.startswith("v=") and name.endswith(".json"):
                     try:
-                        v = int(name[2:-5])
+                        out[int(name[2:-5])] = os.path.join(d, name)
                     except ValueError:
-                        continue
-                    if v <= batch and (best is None or v > best):
-                        best = v
+                        pass
         except FileNotFoundError:
-            return None
+            pass
+        return out
+
+    def read_evmeta(self, table: str, batch: int) -> dict | None:
+        """Newest evmeta at version ≤ batch (versioned like the data dirs,
+        so time-travel reads use the watermark as of that commit)."""
+        versions = self._list_evmeta_versions(table)
+        best = max((v for v in versions if v <= batch), default=None)
         if best is None:
             return None
-        with open(self._evmeta_path(table, best)) as f:
+        with open(versions[best]) as f:
             return json.load(f)
 
     def _epoch_parts(self, table: str, batch: int) -> tuple[int, list[tuple[int, str]], list[tuple[int, str]]]:
@@ -359,13 +363,19 @@ class StateStore:
         em = self.read_evmeta(table, batch) or {}
         wm = {int(k): int(v) for k, v in (em.get("wm") or {}).items()}
         if wm:
-            min_wm = min(wm.values())
-            live = F.col("decided_batch") > F.lit(min_wm)  # partition prune
+            live = None
             for kind, w in wm.items():
-                live = live & (
-                    (F.col("decision") != F.lit(kind))
-                    | (F.col("decided_batch") > F.lit(w))
+                term = (F.col("decision") != F.lit(kind)) | (
+                    F.col("decided_batch") > F.lit(w)
                 )
+                live = term if live is None else live & term
+            # partition-prune conjunct: only sound when EVERY decision
+            # kind has a watermark — a kind absent from wm has watermark
+            # -1, and pruning at min(present wms) would delete its live
+            # rows in epochs the other kind already evicted
+            kinds = {2, 3}  # DECISION_STATE_SCHEMA: 2=Sampled, 3=NotSampled
+            if kinds <= set(wm):
+                live = live & (F.col("decided_batch") > F.lit(min(wm.values())))
             df = df.filter(live)
         if evicts:
             ev = self.spark.read.parquet(*[p for _, p in evicts])
@@ -548,14 +558,9 @@ class StateStore:
         # evmeta files strictly below the base can go — the base bakes the
         # watermark as of its version, and every epoch batch writes a fresh
         # evmeta, so reads above bv still find the newest one
-        try:
-            for name in os.listdir(os.path.join(tdir, "evmeta")):
-                if name.startswith("v=") and name.endswith(".json"):
-                    try:
-                        v = int(name[2:-5])
-                    except ValueError:
-                        continue
-                    if v < bv:
-                        os.remove(os.path.join(tdir, "evmeta", name))
-        except FileNotFoundError:
-            pass
+        for v, p in self._list_evmeta_versions(table).items():
+            if v < bv:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass

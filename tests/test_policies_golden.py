@@ -361,6 +361,8 @@ def test_ottl_widened_build_errors():
     with pytest.raises(PolicyError, match="unsupported OTTL span field"):
         OTTLCondition(name="o", span_conditions=['span.events == "x"'])
     with pytest.raises(PolicyError, match="unknown converter"):
+        OTTLCondition(name="o", span_conditions=['Uppercase(name) == "X"'])
+    with pytest.raises(PolicyError):  # Duration takes a duration STRING
         OTTLCondition(name="o", span_conditions=['Duration(name) > 5'])
     with pytest.raises(PolicyError, match="must be an int literal"):
         OTTLCondition(name="o", span_conditions=['Substring(name, "a", 2) == "x"'])
@@ -683,3 +685,59 @@ def test_ottl_duration_golden(spark, cond, spans, expected):
 def test_ottl_duration_build_error():
     with pytest.raises(PolicyError):
         OTTLCondition(name="o", span_conditions=['start_time_unix_nano > Duration("bogus")'])
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # SHORT-CIRCUIT error semantics (contrib orFuncs/andFuncs): a
+        # true left term means the erroring right term is never
+        # evaluated — no error, Sampled
+        (
+            'name == "span-name" or Int(attributes["bad"]) == 1',
+            [dict(attrs={"bad": "oops"})],
+            D.SAMPLED,
+        ),
+        # left false → right IS evaluated → its error surfaces
+        (
+            'name == "other" or Int(attributes["bad"]) == 1',
+            [dict(attrs={"bad": "oops"})],
+            D.UNSPECIFIED,
+        ),
+        # and: left false short-circuits — no error
+        (
+            'name == "other" and Int(attributes["bad"]) == 1',
+            [dict(attrs={"bad": "oops"})],
+            D.PENDING,
+        ),
+        # and: left true → right evaluated → error
+        (
+            'name == "span-name" and Int(attributes["bad"]) == 1',
+            [dict(attrs={"bad": "oops"})],
+            D.UNSPECIFIED,
+        ),
+        # left itself errors → error regardless of the right term
+        (
+            'Int(attributes["bad"]) == 1 or name == "span-name"',
+            [dict(attrs={"bad": "oops"})],
+            D.UNSPECIFIED,
+        ),
+        # StandardStringGetter nil errors: Substring/ConvertCase/Len on
+        # an ABSENT value error (same family as IsMatch-on-nil)
+        ('Substring(attributes["m"], 0, 2) == "x"', [dict(attrs={})], D.UNSPECIFIED),
+        ('ConvertCase(attributes["m"], "upper") == "X"', [dict(attrs={})], D.UNSPECIFIED),
+        ('Len(attributes["m"]) > 0', [dict(attrs={})], D.UNSPECIFIED),
+        # ...but Concat skips nil parts (func_concat) — not an error
+        ('Concat([attributes["m"], name], "-") == "span-name"', [dict(attrs={})], D.SAMPLED),
+    ],
+)
+def test_ottl_propagate_short_circuit(spark, cond, spans, expected):
+    pol = OTTLCondition(name="sc", span_conditions=[cond], error_mode="propagate")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+def test_ottl_istype_over_parsejson_build_error():
+    with pytest.raises(PolicyError):
+        OTTLCondition(name="o", span_conditions=['IsDouble(ParseJSON(attributes["p"])["n"])'])
+    # IsString over JSON values stays supported
+    OTTLCondition(name="o2", span_conditions=['IsString(ParseJSON(attributes["p"])["n"])'])

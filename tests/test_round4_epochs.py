@@ -252,3 +252,52 @@ def test_nop_decision_cache_truncates_checkpoint(spark, tmp_path):
     assert (1, "sampled") in reasons
     assert (1, "late_sampled") not in reasons
     assert nop.store.read("decision_state", 1, DECISION_STATE_SCHEMA).count() == 0
+
+
+def test_single_kind_watermark_preserves_other_kind(spark, tmp_path):
+    """Regression (round-4 review): a watermark for ONE kind must not
+    prune the other kind's live rows in the same epochs — store-level
+    repro plus a pipeline run where only the sampled cache overflows."""
+    from atlassian_sampling_processor_spark.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "ck"))
+    store.write_epoch(
+        "decision_state", 0,
+        spark.createDataFrame(
+            [("aa", D.SAMPLED, "p", 0), ("bb", D.NOT_SAMPLED, "q", 0)],
+            schema=DECISION_STATE_SCHEMA,
+        ),
+    )
+    store.write_epoch(
+        "decision_state", 1,
+        spark.createDataFrame([("cc", D.SAMPLED, "p", 1)], schema=DECISION_STATE_SCHEMA),
+    )
+    store.write_evmeta("decision_state", 1, {"wm": {str(D.SAMPLED): 0}, "counts": {}})
+    store.commit(1)
+    got = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", 1, DECISION_STATE_SCHEMA).collect()
+    }
+    assert got == {"bb": D.NOT_SAMPLED, "cc": D.SAMPLED}
+
+    # pipeline-level: sampled cache cap 2, not-sampled cap huge; errors
+    # overflow the sampled cache while early NOT_SAMPLED decisions must
+    # keep serving late spans
+    pipe = _mk(
+        spark, tmp_path, "onekind",
+        sampled_cache_size=2, non_sampled_cache_size=10_000,
+        state_compact_every=3,
+    )
+    spans = [dict(doc_id=trace_id(7900), span_id=1, status=0, batch_idx=0)]  # NOT_SAMPLED
+    sid = 2
+    for b in range(4):
+        for i in range(3):  # 3 errors per batch → sampled cache churns
+            spans.append(dict(doc_id=trace_id(7910 + b * 10 + i), span_id=sid, status=2, batch_idx=b))
+            sid += 1
+    spans.append(dict(doc_id=trace_id(7900), span_id=99, status=0, batch_idx=3))  # late
+    pipe.run(seq_table_from_spans(spark, spans))
+    drops = [
+        r.reason for r in pipe.read_sink("drop").filter(F.col("doc_id") == trace_id(7900)).collect()
+        if r.released_batch == 3
+    ]
+    assert drops == ["late_not_sampled"]

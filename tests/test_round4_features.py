@@ -229,3 +229,34 @@ def test_ivf_clustered_recall(spark, tmp_path):
     hits = sum(len(exact[qi] & got.get(qi, set())) for qi in range(n_q))
     recall = hits / (n_q * k)
     assert recall > 0.7, f"clustered recall@5 at 25% scan = {recall}"
+
+
+def test_ottl_propagate_error_metric_nested(spark, tmp_path):
+    """A propagate OTTL nested in an and-policy still surfaces the error
+    metric (the reference's decider warn fires for the TOP policy when a
+    sub evaluator errors — decider.go:46-48)."""
+    policies = parse_policies([
+        {
+            "name": "wrapped",
+            "type": "and",
+            "and": {"and_sub_policy": [
+                {"name": "inner", "type": "ottl_condition", "ottl_condition": {
+                    "span": ['Int(attributes["env"]) == 7'], "error_mode": "propagate"}},
+                {"name": "sc", "type": "span_count", "span_count": {"min_spans": 1}},
+            ]},
+        },
+        {"name": "fallback", "type": "span_count", "span_count": {"min_spans": 1}},
+    ])
+    pipe = SamplingPipeline(
+        spark, policies, EngineConfig(),
+        checkpoint_dir=str(tmp_path / "pmn" / "ck"),
+        output_dir=str(tmp_path / "pmn" / "out"),
+    )
+    pipe.run(seq_table_from_spans(
+        spark, [dict(doc_id=trace_id(8200), span_id=1, attr_code=1, batch_idx=0)]
+    ))
+    errs = [
+        r for r in pipe.store.read("metrics", 0).collect()
+        if r.metric == "policy_decisions" and r.labels.get("error") == "true"
+    ]
+    assert [(r.labels["policy"], r.value) for r in errs] == [("wrapped", 1)]
