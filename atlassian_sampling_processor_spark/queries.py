@@ -241,6 +241,60 @@ def sql_probabilistic() -> str:
     """
 
 
+REMOTE_RATE = 40.0  # what the (deterministic) rate provider returns
+REMOTE_DEFAULT = 5.0  # fallback when the provider errors
+
+
+def q_remote_probabilistic(spark, sf_dir):
+    """remote_probabilistic (remote_probabilistic.go:44-100): the rate
+    comes from a provider consulted at plan-build time; a provider error
+    falls back to default_rate. Built through the REAL policy object —
+    one policy whose getter returns 40.0, one whose getter raises (→
+    default 5.0); the oracle hashes the same FNV at both rates. The
+    per-batch refresh semantics are e2e-tested
+    (test_remote_probabilistic_rate_refresh); this query gates the
+    rate→threshold→decision math."""
+    from .hashing import fnv_hash_column
+    from .policies import RemoteProbabilistic
+    from .policies.base import hash_col_name
+
+    live = RemoteProbabilistic(name="live", default_rate=REMOTE_DEFAULT,
+                               rate_getter=lambda: REMOTE_RATE)
+
+    def broken():
+        raise RuntimeError("provider down")
+
+    down = RemoteProbabilistic(name="down", default_rate=REMOTE_DEFAULT,
+                               rate_getter=broken)
+    agg = trace_agg(spark, sf_dir).select(
+        "trace_key", F.lit(0).cast("long").alias("trace_hi"),
+        F.col("trace_key").alias("trace_lo"),
+    )
+    agg = agg.withColumn(
+        hash_col_name(DEFAULT_HASH_SALT), fnv_hash_column(DEFAULT_HASH_SALT)
+    )
+    names = F.array(*[F.lit(D.DECISION_NAMES[i]) for i in range(5)])
+    return agg.select(
+        "trace_key",
+        F.element_at(names, live.decision() + 1).alias("decision_live"),
+        F.element_at(names, down.decision() + 1).alias("decision_fallback"),
+    )
+
+
+def sql_remote_probabilistic() -> str:
+    thr_live = calculate_threshold(REMOTE_RATE / 100.0)
+    thr_def = calculate_threshold(REMOTE_DEFAULT / 100.0)
+    return f"""
+      SELECT trace_key,
+             CASE WHEN fnv_u <= {thr_live}::HUGEINT THEN 'Sampled' ELSE 'Pending' END AS decision_live,
+             CASE WHEN fnv_u <= {thr_def}::HUGEINT THEN 'Sampled' ELSE 'Pending' END AS decision_fallback
+      FROM (
+        SELECT trace_key, {fnv_oracle_sql("trace_key")}
+        FROM (SELECT DISTINCT user_id AS trace_key FROM events)
+      )
+    """
+
+
 # --- full decider chain (decider.go:41-81) ------------------------------------
 
 
@@ -395,6 +449,7 @@ def sampling_queries() -> dict[str, tuple]:
         "status_code_policy": (q_status_code, SQL_STATUS_CODE),
         "threshold_policy_otep235": (q_threshold, SQL_THRESHOLD),
         "probabilistic_policy_fnv": (q_probabilistic, sql_probabilistic()),
+        "remote_probabilistic_policy": (q_remote_probabilistic, sql_remote_probabilistic()),
         "decider_first_decisive": (q_decider_chain, sql_decider_chain()),
         "metadata_merge": (q_metadata_merge, SQL_METADATA_MERGE),
         "lru_eviction_rank": (q_lru_eviction, SQL_LRU_EVICTION),
