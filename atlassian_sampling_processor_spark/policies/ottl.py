@@ -38,6 +38,15 @@ parent span/resource). Anything else is a build-time
 :class:`PolicyError`, matching the reference's fail-to-start behavior
 on unparsable conditions (internal/evaluators/ottl.go:42-120).
 
+Deliberate ignore-mode divergence (documented, not a bug): contrib's
+``ignore`` skips a WHOLE condition whose evaluation errors (the error
+surfaces at the condition level), so ``a or b`` with an erroring ``a``
+is false even when ``b`` is true. This engine absorbs errors at the
+LEAF (try_cast → nil → comparison false), so ``b`` can still match —
+strictly more decisions, never a wrong value, and the behavior the
+golden suite encodes. ``propagate`` mode is order- and
+short-circuit-exact to the reference (see :func:`error_column`).
+
 Parsing happens at CONFIG time (pure-Python AST, no SparkContext);
 Column construction is deferred to plan build. Missing-value semantics
 follow OTTL comparison rules: a comparison against an absent value is

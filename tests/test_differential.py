@@ -91,6 +91,10 @@ scenario = st.tuples(
     st.lists(span_strategy, min_size=1, max_size=25, unique_by=lambda s: s["span_id"]),
     st.integers(min_value=0, max_value=len(POLICY_PRESETS) - 1),
     st.sampled_from([(10**6, 10**6), (3, 2), (2, 1)]),
+    # decision-cache caps, including ASYMMETRIC ones — a watermark for
+    # one kind while the other stays under capacity is the regime the
+    # round-4 review bug lived in (single-kind min-wm prune)
+    st.sampled_from([(10**9, 10**9), (4, 3), (2, 10**9), (10**9, 2), (1, 1)]),
 )
 
 
@@ -148,7 +152,7 @@ def to_engine_and_sim_spans(raw):
 )
 @given(scenario)
 def test_differential_vs_simulator(spark, tmp_path_factory, sc):
-    raw, preset_idx, (prim_cap, sec_cap) = sc
+    raw, preset_idx, (prim_cap, sec_cap), (s_cap, ns_cap) = sc
     eng_pols, sim_pols = POLICY_PRESETS[preset_idx]
     eng_spans, sim_batches = to_engine_and_sim_spans(raw)
 
@@ -161,7 +165,10 @@ def test_differential_vs_simulator(spark, tmp_path_factory, sc):
     pipe = SamplingPipeline(
         spark,
         parse_policies(eng_pols),
-        EngineConfig(primary_cache_size=prim_cap, secondary_cache_size=sec_cap),
+        EngineConfig(
+            primary_cache_size=prim_cap, secondary_cache_size=sec_cap,
+            sampled_cache_size=s_cap, non_sampled_cache_size=ns_cap,
+        ),
         checkpoint_dir=str(tmp / "ck"),
         output_dir=str(tmp / "out"),
     )
@@ -179,7 +186,10 @@ def test_differential_vs_simulator(spark, tmp_path_factory, sc):
                 sid = (sid << 16) | c
             got.append((sink, r.doc_id, sid, r.reason))
 
-    want, dec, pend = simulate(sim_pols, sim_batches, prim_cap, sec_cap)
+    want, dec, pend = simulate(
+        sim_pols, sim_batches, prim_cap, sec_cap,
+        sampled_cache_cap=s_cap, non_sampled_cache_cap=ns_cap,
+    )
     want = [w for w in want if w[3] != "not_sampled_placeholder"]
     assert sorted(got) == sorted(want)
 
