@@ -301,3 +301,42 @@ def test_single_kind_watermark_preserves_other_kind(spark, tmp_path):
         if r.released_batch == 3
     ]
     assert drops == ["late_not_sampled"]
+
+
+def test_epoch_vacuum_preserves_latest_state(spark, tmp_path):
+    """vacuum() after epoch-era compactions: shadowed epoch/evict
+    segments are reclaimed, the latest resolved state is unchanged, and
+    further batches keep committing."""
+    import os
+
+    eng_spans, sim_batches = _scenario()
+    pipe = _mk(spark, tmp_path, "vac", state_compact_every=3)
+    pipe.run(seq_table_from_spans(spark, eng_spans))
+    store = pipe.store
+    last = store.last_committed_batch()
+    before = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", last, DECISION_STATE_SCHEMA).collect()
+    }
+    for t in ("pending_state", "pending_spans", "decision_state"):
+        store.vacuum(t, last)
+    after = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", last, DECISION_STATE_SCHEMA).collect()
+    }
+    assert after == before
+    # shadowed epoch dirs (≤ the newest base) are gone
+    base, _ = store._chain("decision_state", last)
+    assert base is not None
+    bv = base[0]
+    edir = os.path.join(str(tmp_path / "vac" / "ck"), "decision_state", "epoch")
+    leftover = [v for v in os.listdir(edir) if int(v[2:]) <= bv] if os.path.isdir(edir) else []
+    assert leftover == []
+    # the pipeline keeps going after vacuum
+    more = [dict(doc_id=trace_id(5999), span_id=90001, status=2, batch_idx=last + 1)]
+    pipe.run(seq_table_from_spans(spark, eng_spans + more))
+    final = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", last + 1, DECISION_STATE_SCHEMA).collect()
+    }
+    assert final.get(trace_id(5999)) == D.SAMPLED
