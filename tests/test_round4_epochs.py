@@ -340,3 +340,53 @@ def test_epoch_vacuum_preserves_latest_state(spark, tmp_path):
         for r in store.read("decision_state", last + 1, DECISION_STATE_SCHEMA).collect()
     }
     assert final.get(trace_id(5999)) == D.SAMPLED
+
+
+def test_torn_epoch_write_resume(spark, tmp_path):
+    """Crash AFTER batch-1 epoch/evict/evmeta writes but BEFORE the
+    commit marker: the uncommitted layout must be invisible (reads at
+    batch 0 unchanged) and the replay must overwrite it, converging to
+    the clean run's routed rows and decision state."""
+    eng_spans, sim_batches = _scenario(n_batches=4)
+    clean = _mk(spark, tmp_path, "tclean")
+    clean.run(seq_table_from_spans(spark, eng_spans))
+    want_routed = _routed(clean)
+    want_dec = {
+        r.doc_id: r.decision
+        for r in clean.store.read("decision_state", 3, DECISION_STATE_SCHEMA).collect()
+    }
+
+    crash = _mk(spark, tmp_path, "tcrash")
+    crash.run(seq_table_from_spans(spark, eng_spans), n_batches=1)  # commit batch 0
+    store = crash.store
+    dec0 = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", 0, DECISION_STATE_SCHEMA).collect()
+    }
+    # torn batch-1 leftovers: garbage epoch, a bogus evict key for a
+    # LIVE batch-0 decision, and an evmeta claiming it was evicted
+    victim = sorted(dec0)[0]
+    store.write_epoch(
+        "decision_state", 1,
+        spark.createDataFrame([("f" * 32, D.SAMPLED, "torn", 1)], schema=DECISION_STATE_SCHEMA),
+    )
+    store.write_evict(
+        "decision_state", 1,
+        spark.createDataFrame([(victim, 0)], "doc_id string, decided_batch int"),
+    )
+    store.write_evmeta("decision_state", 1, {"wm": {str(D.SAMPLED): 0}, "counts": {}})
+    # marker still at 0 → the torn layout is invisible
+    assert store.last_committed_batch() == 0
+    assert {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", 0, DECISION_STATE_SCHEMA).collect()
+    } == dec0
+
+    crash.run(seq_table_from_spans(spark, eng_spans))  # replay batches 1-3
+    assert _routed(crash) == want_routed
+    got_dec = {
+        r.doc_id: r.decision
+        for r in store.read("decision_state", 3, DECISION_STATE_SCHEMA).collect()
+    }
+    assert got_dec == want_dec
+    assert "f" * 32 not in got_dec
