@@ -556,12 +556,24 @@ def to_column(ast, ctx: str) -> Column:
                 return target.isNotNull()
             return F.lit(False)
         lc, rc = _operand_column(l, ctx), _operand_column(r, ctx)
-        # numeric comparison against a string-typed attr: try_cast, so a
-        # non-numeric value compares false rather than throwing (ANSI on)
-        if _is_numeric_lit(r) and l[0] == "path":
-            lc = lc.try_cast("double")
-        if _is_numeric_lit(l) and r[0] == "path":
-            rc = rc.try_cast("double")
+        # mixed-STATIC-TYPE comparison coercion (totality under ANSI):
+        # Spark's implicit cast in e.g. string == int THROWS on a
+        # non-numeric value, so the non-numeric side try_casts (an
+        # unparseable value → NULL → comparison false, contrib's
+        # invalid-comparison result); bool-vs-string compares textually.
+        # Applies to ANY operand form, not just bare paths — the fuzz
+        # suite (test_ottl_fuzz.py) found converter-produced strings
+        # compared to numbers slipping through the old path-only rule.
+        lt, rt = _static_type(l), _static_type(r)
+        num = ("int", "double")
+        if lt in num and rt not in num:
+            rc = rc.cast("string").try_cast("double")
+        elif rt in num and lt not in num:
+            lc = lc.cast("string").try_cast("double")
+        elif lt == "bool" and rt == "string":
+            lc = lc.cast("string")
+        elif rt == "bool" and lt == "string":
+            rc = rc.cast("string")
         if op == "==":
             return F.coalesce(lc == rc, F.lit(False))
         if op == "!=":

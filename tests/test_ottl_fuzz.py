@@ -1,0 +1,116 @@
+"""Seeded fuzz of the OTTL compiler's TOTALITY claim.
+
+builders.py asserts compiled conditions are total functions — ANSI mode
+(Spark 4) makes that a live hazard: any un-guarded cast/arith over a
+string path throws at runtime. This generates a few hundred random
+conditions over every supported form (paths, literals, converters,
+arithmetic, ParseJSON, comparisons, boolean composition), compiles each
+that build-validation accepts in BOTH error modes, and evaluates all of
+them in ONE Spark job against adversarial span rows (garbage numerics,
+empty attrs, JSON and non-JSON values, nil everywhere). Any runtime
+exception or out-of-domain decision fails the test.
+"""
+
+import random
+
+import pytest
+
+from atlassian_sampling_processor_spark import decision as D
+from atlassian_sampling_processor_spark.policies import OTTLCondition, PolicyError
+
+from .test_policies_golden import SPAN_SCHEMA, span_row
+
+PATHS = [
+    'attributes["k1"]', 'attributes["num"]', 'attributes["missing"]',
+    'resource.attributes["service.name"]', "name", "kind", "status.code",
+    "start_time_unix_nano", "end_time_unix_nano",
+    "instrumentation_scope.name", "instrumentation_scope.version",
+    "trace_id.string", "span_id.string",
+]
+LITS = ['"x"', '"42"', "7", "3.5", "-1", "0", "true", "false", "nil"]
+CMPS = ["==", "!=", ">", ">=", "<", "<="]
+
+
+def rnd_operand(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 2:
+        return rng.choice(PATHS + LITS)
+    roll = rng.random()
+    inner = lambda: rnd_operand(rng, depth + 1)  # noqa: E731
+    if roll < 0.35:
+        return rng.choice(PATHS)
+    if roll < 0.5:
+        return rng.choice(LITS)
+    if roll < 0.56:
+        return f"Len({inner()})"
+    if roll < 0.62:
+        return f"Substring({inner()}, {rng.randint(0, 2)}, {rng.randint(1, 3)})"
+    if roll < 0.67:
+        return f'ConvertCase({inner()}, "{rng.choice(["upper", "lower"])}")'
+    if roll < 0.74:
+        return f"{rng.choice(['Int', 'Double', 'String'])}({inner()})"
+    if roll < 0.8:
+        return f'Concat([{inner()}, {inner()}], "-")'
+    if roll < 0.88:
+        return f"{inner()} {rng.choice(['+', '-'])} {inner()}"
+    if roll < 0.94:
+        return f'ParseJSON({inner()})["a"]'
+    return f'Duration("{rng.choice(["5ms", "2s", "1h30m"])}")'
+
+
+def rnd_bool(rng: random.Random, depth: int = 0) -> str:
+    roll = rng.random()
+    if depth >= 2 or roll < 0.45:
+        return f"{rnd_operand(rng)} {rng.choice(CMPS)} {rnd_operand(rng)}"
+    if roll < 0.55:
+        return f'IsMatch({rnd_operand(rng)}, "ab?c")'
+    if roll < 0.6:
+        return "IsRootSpan()"
+    if roll < 0.68:
+        return f"{rng.choice(['IsString', 'IsInt', 'IsDouble', 'IsBool'])}({rnd_operand(rng)})"
+    if roll < 0.76:
+        return f"not {rnd_bool(rng, depth + 1)}"
+    if roll < 0.88:
+        return f"({rnd_bool(rng, depth + 1)}) {rng.choice(['and', 'or'])} {rnd_bool(rng, depth + 1)}"
+    return f"({rnd_bool(rng, depth + 1)})"
+
+
+ADVERSARIAL_SPANS = [
+    dict(attrs={"k1": "x", "num": "42"}),
+    dict(attrs={"num": "not-a-number"}, name="7"),
+    dict(attrs={}),
+    dict(attrs={"k1": '{"a": 1}', "num": "1e3"}, event_name="exception",
+         event_attrs={"k1": "y"}),
+    dict(attrs={"k1": "{broken json", "num": "-0"}, is_root=True),
+]
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_ottl_fuzz_total_functions(spark, seed):
+    rng = random.Random(seed)
+    policies = []
+    built = tried = 0
+    while built < 30 and tried < 400:
+        tried += 1
+        cond = rnd_bool(rng)
+        mode = "propagate" if built % 2 else "ignore"
+        try:
+            policies.append(
+                OTTLCondition(name=f"fz{built}", span_conditions=[cond], error_mode=mode)
+            )
+            built += 1
+        except PolicyError:
+            continue  # rejected at build time — the fail-to-start contract
+    assert built == 30, f"generator produced too few buildable conditions ({built}/{tried})"
+
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    df = spark.createDataFrame(
+        [span_row(span_id=i + 1, **s) for i, s in enumerate(ADVERSARIAL_SPANS)],
+        schema=SPAN_SCHEMA,
+    )
+    merged = merge_with_pending(aggregate_batch(df, policies), None)
+    out = make_decision(merged, policies).collect()  # must not throw (ANSI on)
+    assert len(out) == 1
+    for d in out[0].policy_decisions:
+        assert d in (D.UNSPECIFIED, D.PENDING, D.SAMPLED), d
