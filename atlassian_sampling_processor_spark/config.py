@@ -173,30 +173,41 @@ def _parse_record_decision_from(name: str, entry: dict[str, Any]) -> tuple[str, 
 
 def parse_policy(entry: dict[str, Any],
                  rate_getters: dict[str, Callable[[], float]] | None = None) -> Policy:
+    # fail-to-start contract (config.go Validate): EVERY malformed config
+    # surfaces as PolicyError, never a raw KeyError/TypeError
+    if not isinstance(entry, dict) or "name" not in entry or "type" not in entry:
+        raise PolicyError(f"policy entry must carry name and type: {entry!r}")
     name = entry["name"]
     typ = entry["type"]
+    if not isinstance(name, str) or not name:
+        raise PolicyError(f"policy name must be a non-empty string: {name!r}")
 
     def sub_name(s: dict[str, Any], suffix: str) -> str:
         # reference sub-policies may be anonymous (root_spans/downgrader in
         # atlassian_sampling_test_cfg.yml carry only a type)
         return s.get("name", f"{name}.{suffix}")
 
+    def sub_type(s: dict[str, Any]) -> str:
+        if not isinstance(s, dict) or "type" not in s:
+            raise PolicyError(f"policy {name!r}: sub-policy must carry a type: {s!r}")
+        return s["type"]
+
     if typ == "and":
         subs = [
-            _shared_policy(sub_name(s, f"sub{i}"), s["type"], s, rate_getters)
+            _shared_policy(sub_name(s, f"sub{i}"), sub_type(s), s, rate_getters)
             for i, s in enumerate(entry.get("and", {}).get("and_sub_policy", []))
         ]
         pol: Policy = AndPolicy(name=name, sub_policies=subs)
     elif typ == "root_spans":
         s = entry.get("root_spans", {}).get("sub_policy", {})
-        pol = RootSpans(name=name, sub_policy=_shared_policy(sub_name(s, "sub"), s["type"], s, rate_getters))
+        pol = RootSpans(name=name, sub_policy=_shared_policy(sub_name(s, "sub"), sub_type(s), s, rate_getters))
     elif typ == "downgrader":
         c = entry.get("downgrader", {})
         s = c.get("sub_policy", {})
         pol = Downgrader(
             name=name,
             downgrade_to=c.get("downgrade_to", "NotSampled"),
-            sub_policy=_shared_policy(sub_name(s, "sub"), s["type"], s, rate_getters),
+            sub_policy=_shared_policy(sub_name(s, "sub"), sub_type(s), s, rate_getters),
         )
     else:
         pol = _shared_policy(name, typ, entry, rate_getters)
@@ -206,9 +217,28 @@ def parse_policy(entry: dict[str, Any],
     return pol
 
 
+def _parse_policy_total(entry: dict[str, Any],
+                        rate_getters: dict[str, Callable[[], float]] | None = None) -> Policy:
+    """parse_policy with the fail-to-start guarantee: any malformed shape
+    (wrong scalar types, lists where dicts belong, …) surfaces as
+    PolicyError — the collector converts config unmarshal errors to
+    startup errors the same way."""
+    try:
+        return parse_policy(entry, rate_getters)
+    except PolicyError:
+        raise
+    except (TypeError, ValueError, AttributeError, KeyError) as exc:
+        nm = entry.get("name") if isinstance(entry, dict) else None
+        raise PolicyError(
+            f"policy {nm!r}: malformed config: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
 def parse_policies(entries: list[dict[str, Any]],
                    rate_getters: dict[str, Callable[[], float]] | None = None) -> list[Policy]:
-    pols = [parse_policy(e, rate_getters) for e in entries]
+    if not isinstance(entries, list):
+        raise PolicyError(f"sampling_policies must be a list: {entries!r}")
+    pols = [_parse_policy_total(e, rate_getters) for e in entries]
     names = [p.name for p in pols]
     if len(set(names)) != len(names):  # duplicate-name check (policy.go:77-85)
         dupes = sorted({n for n in names if names.count(n) > 1})

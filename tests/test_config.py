@@ -195,3 +195,78 @@ def test_default_salts_applied():
     # remote_probabilistic.go:23)
     assert pols[0].hash_salt == "default-hash-seed"
     assert pols[1].hash_salt == "default-hash-seed"
+
+
+# --- round-4: fail-to-start fuzz --------------------------------------------
+# The reference refuses to start on any malformed config (config.go
+# Validate / getPolicyEvaluator errors). The loader's contract is the
+# same: EVERY malformed policy list raises PolicyError — never a raw
+# KeyError/TypeError/AttributeError leaking from the parser.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 5), st.floats(allow_nan=False, allow_infinity=False),
+    st.sampled_from(["", "x", "probabilistic", "span_count", "ERROR", "5m", "bogus", "[", "nil"]),
+)
+_inner = st.dictionaries(
+    st.sampled_from(["type", "name", "min_spans", "span", "sub_policy",
+                     "res_attr_key", "sampling_percentage", "threshold_ms",
+                     "status_codes", "error_mode", "and_sub_policy",
+                     "downgrade_to", "mappings"]),
+    st.one_of(_scalar, st.lists(_scalar, max_size=2)),
+    max_size=3,
+)
+_body = st.dictionaries(
+    st.sampled_from([
+        "name", "type", "probabilistic", "span_count", "latency", "status_code",
+        "ottl_condition", "and", "root_spans", "downgrader", "threshold",
+        "sampling_percentage", "min_spans", "threshold_ms", "status_codes",
+        "span", "error_mode", "and_sub_policy", "sub_policy", "downgrade_to",
+        "record_decision_from", "mappings", "pattern", "value",
+    ]),
+    st.one_of(_scalar, st.lists(_scalar, max_size=2), _inner),
+    max_size=5,
+)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(st.lists(_body, max_size=3))
+def test_config_fuzz_fail_to_start(entries):
+    """Random semi-structured policy lists either parse or raise
+    PolicyError — no other exception type escapes the loader."""
+    from atlassian_sampling_processor_spark.config import parse_policies
+    from atlassian_sampling_processor_spark.policies import PolicyError
+
+    try:
+        pols = parse_policies(entries)
+    except PolicyError:
+        return
+    for p in pols:
+        assert p.name is not None
+
+
+@pytest.mark.parametrize(
+    "entries",
+    [
+        [{"name": "a", "type": "span_count", "span_count": {"min_spans": None}}],
+        [{"name": "a", "type": "probabilistic", "probabilistic": {"sampling_percentage": {}}}],
+        [{"name": "a", "type": "latency", "latency": {"threshold_ms": "x"}}],
+        [{"name": "a", "type": "status_code", "status_code": {"status_codes": 5}}],
+        [{"name": "a", "type": "ottl_condition", "ottl_condition": {"span": 7}}],
+        [{"name": None, "type": "threshold"}],
+        [{"name": "a", "type": "and", "and": {"and_sub_policy": 3}}],
+        [{"name": "a", "type": "threshold",
+          "record_decision_from": {"res_attr_key": "k", "mappings": [5]}}],
+        "not-a-list",
+    ],
+)
+def test_config_malformed_shapes_raise_policy_error(entries):
+    """Regression probes for the shapes the round-4 fuzz found leaking
+    raw TypeError/ValueError/AttributeError from the loader."""
+    from atlassian_sampling_processor_spark.config import parse_policies
+    from atlassian_sampling_processor_spark.policies import PolicyError
+
+    with pytest.raises(PolicyError):
+        parse_policies(entries)
