@@ -22,5 +22,12 @@ NAME_TO_DECISION = {v: k for k, v in DECISION_NAMES.items()}
 # (evaluator error) is NOT decisive — the loop continues.
 DECISIVE = (SAMPLED, NOT_SAMPLED, LOW_PRIORITY)
 
+# decision kinds held in the decision caches (atlassian_sampling_processor.go
+# sampledDecisionCache / nonSampledDecisionCache). Shared by pipeline.py's
+# caps dict and state.py's min-watermark partition-prune gate — the prune is
+# only sound when EVERY cached kind has a watermark, so both sides must
+# agree on this set.
+CACHED_KINDS = (SAMPLED, NOT_SAMPLED)
+
 PRIORITY_LOW = 1
 PRIORITY_UNSPECIFIED = 2

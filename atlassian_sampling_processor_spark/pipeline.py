@@ -89,7 +89,7 @@ def plan_decision_eviction(
     that epoch (the same victims as a [desc decided_batch, desc doc_id]
     keep-order rank) and ages are ``{kind: (n_evicted, Σ(b - epoch))}``
     (decision_eviction_time, processor.go:665-674, in batch units)."""
-    kidx = {D.SAMPLED: 0, D.NOT_SAMPLED: 1}
+    kidx = {k: i for i, k in enumerate(D.CACHED_KINDS)}
     partial_req: list[tuple[int, int, int]] = []
     dec_ev_age: dict[int, tuple[int, int]] = {}
     for kind, cap in caps.items():

@@ -220,8 +220,21 @@ class OTTLCondition(Policy):
     def span_agg_exprs(self) -> list[Column]:
         pairs = self._cond_pairs()
         if self.error_mode != "propagate":
-            any_cond = reduce(lambda a, b: a | b, [c for c, _ in pairs])
-            return [F.max(F.coalesce(any_cond, F.lit(False))).alias(self._flag())]
+            # contrib's ignore mode surfaces errors at the CONDITION
+            # level: a condition whose evaluation errors is skipped
+            # (contributes false to the OR), even when leaf-absorbed
+            # evaluation of its other arms would yield true — e.g.
+            # `a or b` with erroring `a` and true `b` is an eval error
+            # in contrib, hence skipped. error_column models contrib's
+            # short-circuit exactly, so mask each condition with ¬err.
+            any_cond = reduce(
+                lambda a, b: a | b,
+                [
+                    F.coalesce(c, F.lit(False)) & ~F.coalesce(e, F.lit(False))
+                    for c, e in pairs
+                ],
+            )
+            return [F.max(any_cond).alias(self._flag())]
         # propagate: per span, the FIRST condition that errors or matches
         # decides the span (contrib ConditionSequence semantics); per
         # trace, the first deciding span in (start_ts, span_id) order

@@ -38,13 +38,13 @@ parent span/resource). Anything else is a build-time
 :class:`PolicyError`, matching the reference's fail-to-start behavior
 on unparsable conditions (internal/evaluators/ottl.go:42-120).
 
-Deliberate ignore-mode divergence (documented, not a bug): contrib's
-``ignore`` skips a WHOLE condition whose evaluation errors (the error
-surfaces at the condition level), so ``a or b`` with an erroring ``a``
-is false even when ``b`` is true. This engine absorbs errors at the
-LEAF (try_cast → nil → comparison false), so ``b`` can still match —
-strictly more decisions, never a wrong value, and the behavior the
-golden suite encodes. ``propagate`` mode is order- and
+Ignore-mode error semantics are CONDITION-level, matching contrib
+(round 5): the compiled value Columns are total functions (try_cast /
+coalesce absorb runtime failures at the leaf), and the builder masks
+each condition with ``¬error_column`` so a condition whose evaluation
+errors is skipped — ``a or b`` with an erroring ``a`` is false even
+when ``b`` is true, exactly contrib's ``ignore`` (the error surfaces
+out of the whole condition's Eval). ``propagate`` mode is order- and
 short-circuit-exact to the reference (see :func:`error_column`).
 
 Parsing happens at CONFIG time (pure-Python AST, no SparkContext);
@@ -661,12 +661,14 @@ def error_column(ast, ctx: str) -> Column:
     if kind == "istype":
         return error_column(ast[2], ctx)
     if kind == "jsonget":
-        # ParseJSON on a present non-JSON value errors in the reference
-        # (func_parse_json unmarshal failure)
+        # ParseJSON errors in the reference both on a present non-JSON
+        # value (func_parse_json unmarshal failure) AND on an absent one:
+        # func_parse_json reads through a StandardStringGetter, which
+        # errors on nil — same rule as the IsMatch/Len/ConvertCase family
         target, _ = _json_path(ast)
         tgt = _operand_column(target, ctx).cast("string")
         bad = tgt.isNotNull() & F.get_json_object(tgt, "$").isNull()
-        return error_column(target, ctx) | F.coalesce(bad, f)
+        return error_column(target, ctx) | tgt.isNull() | F.coalesce(bad, f)
     if kind in ("len", "case"):
         # StandardStringGetter family: Get on a nil value errors
         # (ottlfuncs func_len / func_convert_case unsupported-type path)

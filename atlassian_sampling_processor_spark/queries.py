@@ -828,10 +828,13 @@ SQL_OTTL_PROPAGATE = """
     -- integer-STRICT cast mirror of Spark's try_cast(string as long):
     -- DuckDB's TRY_CAST(v AS BIGINT) would ROUND decimal strings
     -- ('42.5' -> 43) where Spark yields NULL, so gate the cast on an
-    -- integer-format regex to keep the engines in lockstep
+    -- integer-format regex; the extra TRY_CAST IS NULL arm makes
+    -- out-of-int64-range digit strings (20+ digits: Spark try_cast ->
+    -- NULL -> error) count as errors here too
     SELECT trace_key,
            min(CASE WHEN v IS NOT NULL
-                         AND NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')
+                         AND (NOT regexp_matches(trim(v), '^[+-]?[0-9]+$')
+                              OR TRY_CAST(trim(v) AS BIGINT) IS NULL)
                     THEN event_id END) AS first_err,
            min(CASE WHEN v IS NOT NULL
                          AND regexp_matches(trim(v), '^[+-]?[0-9]+$')

@@ -373,8 +373,9 @@ class StateStore:
             # kind has a watermark — a kind absent from wm has watermark
             # -1, and pruning at min(present wms) would delete its live
             # rows in epochs the other kind already evicted
-            kinds = {2, 3}  # DECISION_STATE_SCHEMA: 2=Sampled, 3=NotSampled
-            if kinds <= set(wm):
+            from .decision import CACHED_KINDS
+
+            if set(CACHED_KINDS) <= set(wm):
                 live = live & (F.col("decided_batch") > F.lit(min(wm.values())))
             df = df.filter(live)
         if evicts:

@@ -114,3 +114,54 @@ def test_ottl_fuzz_total_functions(spark, seed):
     assert len(out) == 1
     for d in out[0].policy_decisions:
         assert d in (D.UNSPECIFIED, D.PENDING, D.SAMPLED), d
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ottl_fuzz_differential_model(spark, seed):
+    """Differential: the engine's compiled-Column decisions vs the
+    independent Python AST interpreter (tests/ottl_model.py) with
+    contrib-exact error semantics, over the adversarial rows — BOTH
+    error modes per generated condition. This pins the condition-level
+    ignore rule (an erroring condition contributes false even when its
+    leaf-absorbed value would be true) and the propagate order rule."""
+    from . import ottl_model
+
+    rng = random.Random(seed)
+    conds, policies = [], []
+    built = tried = 0
+    while built < 20 and tried < 400:
+        tried += 1
+        cond = rnd_bool(rng)
+        try:
+            pols = [
+                OTTLCondition(
+                    name=f"dm{built}_{mode}", span_conditions=[cond], error_mode=mode
+                )
+                for mode in ("ignore", "propagate")
+            ]
+        except PolicyError:
+            continue
+        conds.append(cond)
+        policies.extend(pols)
+        built += 1
+    assert built == 20, f"generator produced too few buildable conditions ({built}/{tried})"
+
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    spans = [
+        span_row(span_id=i + 1, start_ts=i * 100, **s)
+        for i, s in enumerate(ADVERSARIAL_SPANS)
+    ]
+    df = spark.createDataFrame(spans, schema=SPAN_SCHEMA)
+    merged = merge_with_pending(aggregate_batch(df, policies), None)
+    out = make_decision(merged, policies).collect()
+    assert len(out) == 1
+    got = list(out[0].policy_decisions)
+    for i, cond in enumerate(conds):
+        asts = policies[2 * i]._span_asts
+        for j, mode in enumerate(("ignore", "propagate")):
+            expected = ottl_model.decide(asts, [], spans, mode)
+            assert got[2 * i + j] == expected, (
+                f"mode={mode} cond={cond!r}: engine={got[2 * i + j]} model={expected}"
+            )

@@ -561,6 +561,74 @@ def test_ottl_error_mode_golden(spark, error_mode, spans, expected):
 @pytest.mark.parametrize(
     "cond,spans,expected",
     [
+        # contrib's ignore surfaces errors at the CONDITION level: the
+        # whole condition whose evaluation errors is skipped, so an
+        # erroring left arm makes `a or b` false even when b is true
+        # (leaf absorption would have let b match) — round-5 fix
+        (
+            'Int(attributes["n"]) == 7 or name == "span-name"',
+            [dict(attrs={"n": "not-a-number"})],
+            D.PENDING,
+        ),
+        # ...the same condition with a NON-erroring false left arm: b wins
+        (
+            'Int(attributes["n"]) == 7 or name == "span-name"',
+            [dict(attrs={"n": "5"})],
+            D.SAMPLED,
+        ),
+        # ...and with an absent attr: Int(nil) is nil (no strconv error),
+        # the or falls through to b
+        (
+            'Int(attributes["n"]) == 7 or name == "span-name"',
+            [dict(attrs={})],
+            D.SAMPLED,
+        ),
+        # short-circuit: a TRUE left arm means the erroring right arm is
+        # never evaluated — no error, the condition matches
+        (
+            'name == "span-name" or Int(attributes["n"]) == 7',
+            [dict(attrs={"n": "not-a-number"})],
+            D.SAMPLED,
+        ),
+        # and: erroring right arm behind a true left → condition error → skip
+        (
+            'name == "span-name" and Int(attributes["n"]) == 7',
+            [dict(attrs={"n": "not-a-number"})],
+            D.PENDING,
+        ),
+        # and short-circuit: false left → right never evaluated → no error
+        (
+            'name == "other" and Int(attributes["n"]) == 7 or kind == 1',
+            [dict(attrs={"n": "not-a-number"}, kind=1)],
+            D.SAMPLED,
+        ),
+        # not over an erroring term is still a condition error → skip
+        (
+            'not (IsMatch(attributes["missing"], "a.*"))',
+            [dict(attrs={})],
+            D.PENDING,
+        ),
+        # per-SPAN granularity: the erroring span is skipped, a clean
+        # later span can still match
+        (
+            'Int(attributes["n"]) == 7 or name == "span-name"',
+            [dict(span_id=1, attrs={"n": "bad"}), dict(span_id=2, attrs={})],
+            D.SAMPLED,
+        ),
+    ],
+)
+def test_ottl_ignore_condition_level_errors(spark, cond, spans, expected):
+    """Ignore-mode error semantics are condition-level, matching contrib
+    (ConditionSequence.Eval: an erroring condition is logged and
+    SKIPPED), not leaf-level absorption — the round-4 documented
+    divergence is closed."""
+    pol = OTTLCondition(name="ottl_ig", span_conditions=[cond], error_mode="ignore")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
         # Substring out of range errors (func_substring bounds)
         ('Substring(name, 0, 99) == "x"', [dict(name="short")], D.UNSPECIFIED),
         # IsMatch over an absent value errors (StandardStringLikeGetter nil)
@@ -647,13 +715,27 @@ def test_ottl_parsejson_propagate_and_build():
 
 def test_ottl_parsejson_propagate_error(spark):
     """Invalid JSON on a present value is an eval error under propagate
-    (func_parse_json unmarshal failure)."""
+    (func_parse_json unmarshal failure) — and so is an ABSENT value:
+    func_parse_json reads through a StandardStringGetter, which errors on
+    nil, the same rule as IsMatch/Len/ConvertCase/Substring."""
     pol = OTTLCondition(
         name="pj", span_conditions=['ParseJSON(attributes["p"])["a"] == "x"'],
         error_mode="propagate",
     )
     assert eval_ottl_policy(spark, pol, [dict(attrs={"p": "not json"})]) == D.UNSPECIFIED
-    assert eval_ottl_policy(spark, pol, [dict(attrs={})]) == D.PENDING  # absent → nil
+    assert eval_ottl_policy(spark, pol, [dict(attrs={})]) == D.UNSPECIFIED
+    # ...and an earlier absent-target span beats a later matching span
+    assert (
+        eval_ottl_policy(
+            spark,
+            pol,
+            [
+                dict(span_id=1, start_ts=100, attrs={}),
+                dict(span_id=2, start_ts=200, attrs={"p": '{"a": "x"}'}),
+            ],
+        )
+        == D.UNSPECIFIED
+    )
 
 
 @pytest.mark.parametrize(
