@@ -78,18 +78,22 @@ def plan_decision_eviction(
     wm: dict[int, int],
     caps: dict[int, int],
     b: int,
+    kinds: tuple = None,
 ) -> tuple[list[tuple[int, int, int]], dict[int, tuple[int, int]]]:
-    """FIFO decision-cache eviction plan — pure driver arithmetic.
+    """FIFO epoch-cache eviction plan — pure driver arithmetic. Shared by
+    the decision caches (kinds = Sampled/NotSampled over decided_batch
+    epochs) and, since round 5, the pending cache (kinds = primary/
+    secondary tiers over last_seen_batch epochs).
 
-    ``counts``: per-epoch ``[n_sampled, n_not_sampled]`` live counts;
-    ``wm``: per-kind watermark (epochs ≤ wm are dead for that kind);
-    ``caps``: per-kind capacity. Mutates counts/wm in place and returns
-    ``(partial_requests, eviction_ages)`` where a partial request
-    ``(kind, epoch, k)`` asks for the k lowest doc_ids of that kind in
-    that epoch (the same victims as a [desc decided_batch, desc doc_id]
-    keep-order rank) and ages are ``{kind: (n_evicted, Σ(b - epoch))}``
+    ``counts``: per-epoch per-kind live counts (list indexed like
+    ``kinds``); ``wm``: per-kind watermark (epochs ≤ wm are dead for that
+    kind); ``caps``: per-kind capacity. Mutates counts/wm in place and
+    returns ``(partial_requests, eviction_ages)`` where a partial request
+    ``(kind, epoch, k)`` asks for the k lowest in-epoch-order rows of
+    that kind in that epoch (the same victims as a keep-order recency
+    rank) and ages are ``{kind: (n_evicted, Σ(b - epoch))}``
     (decision_eviction_time, processor.go:665-674, in batch units)."""
-    kidx = {k: i for i, k in enumerate(D.CACHED_KINDS)}
+    kidx = {k: i for i, k in enumerate(kinds if kinds is not None else D.CACHED_KINDS)}
     partial_req: list[tuple[int, int, int]] = []
     dec_ev_age: dict[int, tuple[int, int]] = {}
     for kind, cap in caps.items():
@@ -327,9 +331,13 @@ class SamplingPipeline:
         not_sampled_keys = not_sampled.select("doc_id", "policy")
 
         # -- 4. pending-state rewrite (puts before eviction,
-        # tiered_cache.go:41-49)
-        touched = agg.select("doc_id").unionByName(new_dec_from_spans.select("doc_id"))
-        untouched = pend_state.join(touched, "doc_id", "left_anti")
+        # tiered_cache.go:41-49). `decided` carries exactly the batch's
+        # evaluated trace keys (row-preserving over the agg) and is
+        # persisted — reading it beats recomputing the agg lineage in
+        # every downstream join that needs the touched key set.
+        touched = decided.select("doc_id").unionByName(
+            new_dec_from_spans.select("doc_id")
+        )
         updated = pending.select(
             "doc_id",
             "trace_hi",
@@ -343,49 +351,131 @@ class SamplingPipeline:
             F.col("new_last_low_policy").alias("last_low_policy"),
             F.col("first_source"),
         )
-        pend_mid = untouched.unionByName(updated)
 
-        # -- 5. capacity eviction per tier (lru_cache.go:94-99): rank by
-        # recency; rows past capacity evict ⇒ NotSampled (processor.go:626-658).
-        # The rank is a per-tier sort, so it only runs when a tier can
-        # actually overflow (exact tier counts via a cheap agg over the
-        # bounded pending set) — the common under-capacity batch skips it.
+        # -- 5. capacity eviction per tier (lru_cache.go:94-99): rows past
+        # capacity evict ⇒ NotSampled (processor.go:626-658), keep-order
+        # desc(last_seen_batch, arrival_batch, doc_id). Round 5: the
+        # pending cache is a FIFO-by-last_seen-epoch store like the
+        # decision caches — recency refreshes are delta-shaped MOVES
+        # (touched rows leave their old epoch + re-enter epoch b), so
+        # per-epoch per-tier live counts are pure driver arithmetic and
+        # eviction is a watermark advance plus at most one boundary-epoch
+        # partial read per tier. The full-capacity recency rank (and the
+        # per-batch full-set tier-count agg) of rounds 2–4 is gone; the
+        # victim key-set is identical (tested differentially against the
+        # rank plan in tests/test_round5_pending_epochs.py and against
+        # the independent simulator in tests/test_differential.py).
         tier = F.when(F.col("priority") == D.PRIORITY_LOW, F.lit("secondary")).otherwise(
             F.lit("primary")
         )
         prim_cap = self.engine.primary_capacity()
         sec_cap = self.engine.secondary_cache_size
-        tier_counts = {
-            r["tier"]: r["n"]
-            for r in pend_mid.select(tier.alias("tier"))
-            .groupBy("tier")
-            .agg(F.count(F.lit(1)).alias("n"))
+        TIERS = ("primary", "secondary")
+        tidx = {t: i for i, t in enumerate(TIERS)}
+        caps_pend = {"primary": prim_cap, "secondary": sec_cap}
+
+        pem = self.store.read_evmeta("pending_state", prev) if prev is not None else None
+        if pem is None:
+            # first epoch-era batch: derive per-epoch per-tier counts from
+            # the resolved legacy chain once (old checkpoints resume)
+            pcounts: dict[int, list[int]] = {}
+            if prev is not None:
+                for r in (
+                    pend_state.groupBy(
+                        F.col("last_seen_batch").alias("e"), tier.alias("t")
+                    )
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ):
+                    c = pcounts.setdefault(int(r["e"]), [0, 0])
+                    c[tidx[r["t"]]] += int(r["n"])
+            pwm: dict[str, int] = {}
+        else:
+            pcounts = {int(e): [int(c[0]), int(c[1])] for e, c in pem["counts"].items()}
+            pwm = {k: int(v) for k, v in pem["wm"].items()}
+
+        # delta-shaped epoch moves: touched pending rows leave their old
+        # epochs (their keys also become this batch's evict keys), updated
+        # rows enter epoch b. `moved` is O(batch ∩ pending) — tiny — and
+        # reused by the state write below.
+        moved = (
+            pend_state.join(touched, "doc_id", "leftsemi")
+            .select("doc_id", "last_seen_batch", "priority")
+            .persist()
+        )
+        mv = (
+            moved.select(
+                F.col("last_seen_batch").alias("e"), tier.alias("t"), F.lit(-1).alias("d")
+            )
+            .unionByName(
+                updated.select(F.lit(b).alias("e"), tier.alias("t"), F.lit(1).alias("d"))
+            )
+            .groupBy("e", "t")
+            .agg(F.sum("d").alias("d"))
             .collect()
-        }
-        prof.mark("decide+tier_counts")
+        )
+        for r in mv:
+            c = pcounts.setdefault(int(r["e"]), [0, 0])
+            c[tidx[r["t"]]] += int(r["d"])
+        prof.mark("decide+pending_moves")
+
+        old_pwm = dict(pwm)
+        pre_counts = {e: list(c) for e, c in pcounts.items()}
+        partial_pend, planned_ev = plan_decision_eviction(
+            pcounts, pwm, caps_pend, b, kinds=TIERS
+        )
+
+        def pend_slice(e: int) -> DataFrame:
+            """Live tier rows of one last_seen epoch as of this batch:
+            epoch b is the in-memory `updated` set; older epochs read ONE
+            epoch file/partition and drop this batch's moved rows."""
+            if e == b:
+                return updated
+            return self.store.read_epoch_slice(
+                "pending_state", prev, e, PENDING_STATE_SCHEMA
+            ).join(touched, "doc_id", "left_anti")
+
         ev_age = {}  # tier -> sum of eviction ages in batches (see _metrics_rows)
         evicted_full = None
-        if tier_counts.get("primary", 0) <= prim_cap and tier_counts.get("secondary", 0) <= sec_cap:
+        ev_parts = []
+        for t in TIERS:
+            lo, hi = old_pwm.get(t, -1), pwm.get(t, -1)
+            whole = sorted(
+                e for e in pre_counts
+                if lo < e <= hi and pre_counts[e][tidx[t]] > 0
+            )
+            for e in whole:
+                ev_parts.append(
+                    pend_slice(e)
+                    .filter(tier == t)
+                    .select(
+                        "doc_id", F.lit(t).alias("tier"), "arrival_batch",
+                        F.lit(e).alias("ev_epoch"),
+                    )
+                )
+        for t, e, k in partial_pend:
+            # boundary-epoch partial eviction: the k lowest
+            # (arrival_batch, doc_id) — exactly the recency rank's victims
+            ev_parts.append(
+                pend_slice(e)
+                .filter(tier == t)
+                .orderBy("arrival_batch", "doc_id")
+                .limit(k)
+                .select(
+                    "doc_id", F.lit(t).alias("tier"), "arrival_batch",
+                    F.lit(e).alias("ev_epoch"),
+                )
+            )
+        if not ev_parts:
             evicted = _empty(self.spark, "doc_id string, tier string")
             n_evicted = 0
         else:
-            from .functions.topk import ranked_in_group
-
-            ranked = ranked_in_group(
-                pend_mid.withColumn("tier", tier),
-                "tier",
-                [F.desc("last_seen_batch"), F.desc("arrival_batch"), F.desc("doc_id")],
-                two_level=self.engine.two_level_eviction,
-            )
-            cap = F.when(F.col("tier") == "secondary", F.lit(sec_cap)).otherwise(F.lit(prim_cap))
-            evicted_full = (
-                ranked.filter(F.col("rn") > cap)
-                .select("doc_id", "tier", "arrival_batch")
-                .persist()
-            )
-            # one agg instead of a bare count: per-tier counts + eviction
-            # AGE (batches since arrival — trace_eviction_time,
-            # processor.go:653-663, in batch units)
+            evicted_full = ev_parts[0]
+            for part in ev_parts[1:]:
+                evicted_full = evicted_full.unionByName(part)
+            evicted_full = evicted_full.persist()
+            # one agg: per-tier counts + eviction AGE (batches since
+            # arrival — trace_eviction_time, processor.go:653-663)
             ev_stats = (
                 evicted_full.groupBy("tier")
                 .agg(
@@ -397,6 +487,15 @@ class SamplingPipeline:
             n_evicted = sum(r["n"] for r in ev_stats)
             ev_age = {r["tier"]: int(r["age"] or 0) for r in ev_stats}
             evicted = evicted_full.select("doc_id", "tier")
+            # fail fast if the driver-side counts ever drift from the
+            # stored epochs — silent drift would evict the wrong rows
+            got_ev = {r["tier"]: int(r["n"]) for r in ev_stats}
+            want_ev = {t: n for t, (n, _) in planned_ev.items() if n}
+            if got_ev != want_ev:
+                raise RuntimeError(
+                    f"pending epoch-count drift at batch {b}: planned "
+                    f"evictions {want_ev}, stored epochs yielded {got_ev}"
+                )
 
         # -- 6. route everything to one partitioned sink write. Current-batch
         # spans get their trace's decision in ONE join (the shuffle reuses
@@ -516,8 +615,13 @@ class SamplingPipeline:
             .unionByName(new_dec_from_spans)
         )
         evicted_keys = evicted.select("doc_id")
-        n_pending = (
-            tier_counts.get("primary", 0) + tier_counts.get("secondary", 0) - n_evicted
+        # live pending totals are driver arithmetic now (plan mutated
+        # pcounts in place) — no full-set count job
+        n_pending = sum(
+            c[tidx[t]]
+            for e, c in pcounts.items()
+            for t in TIERS
+            if e > pwm.get(t, -1)
         )
 
         # -- 8. run the batch's independent output jobs CONCURRENTLY. The
@@ -538,19 +642,44 @@ class SamplingPipeline:
             return self._write_routed(b, routed)
 
         def job_pending_state():
-            # O(delta) commit: tombstone every touched/evicted key, re-insert
-            # the still-pending rows (upsert = tombstone + same-version
-            # insert, which wins on read — state.py merge-on-read rules).
-            # The reference's in-place cache puts (lru_cache.go:63-71) cost
-            # O(1) per touch; this is the snapshot-isolation equivalent.
-            self.store.write_delta(
+            # O(delta) epoch commit (round 5, mirrors job_decision_state):
+            # epoch b = this batch's still-pending rows; evict keys =
+            # moved rows' old (doc_id, last_seen_batch) pairs plus
+            # eviction victims in older epochs (whole-epoch victims'
+            # keys are redundant with the watermark but harmless — the
+            # volume is O(batch) either way); watermarks + per-epoch
+            # counts ride the versioned evmeta. The reference's in-place
+            # cache puts (lru_cache.go:63-71) cost O(1) per touch; this
+            # is the snapshot-isolation equivalent, now O(1)-in-capacity
+            # on the eviction side too.
+            self.store.write_epoch(
                 "pending_state",
                 b,
-                prev,
-                inserts=updated.join(evicted_keys, "doc_id", "left_anti"),
-                tombstone_keys=touched.unionByName(evicted_keys),
-                schema=PENDING_STATE_SCHEMA,
+                updated.join(evicted_keys, "doc_id", "left_anti"),
             )
+            removal = moved.select("doc_id", "last_seen_batch")
+            if evicted_full is not None:
+                removal = removal.unionByName(
+                    evicted_full.filter(F.col("ev_epoch") != b).select(
+                        "doc_id", F.col("ev_epoch").alias("last_seen_batch")
+                    )
+                )
+            self.store.write_evict("pending_state", b, removal)
+            min_pwm = min(pwm.get(t, -1) for t in TIERS)
+            live_counts = {
+                e: c for e, c in pcounts.items()
+                if e > min_pwm and (c[0] > 0 or c[1] > 0)
+            }
+            self.store.write_evmeta(
+                "pending_state", b,
+                {"wm": dict(pwm),
+                 "counts": {str(e): c for e, c in live_counts.items()}},
+            )
+            if (
+                self.store.n_epochs_since_floor("pending_state", b)
+                >= self.engine.state_compact_every
+            ):
+                self.store.compact_epochs("pending_state", b, PENDING_STATE_SCHEMA)
 
         def job_pending_spans():
             # payload is append-only while pending: new rows insert with NO
@@ -761,7 +890,7 @@ class SamplingPipeline:
         self.store.commit(b, meta={"dec_sampled": tot_s, "dec_not_sampled": tot_ns})
         prof.mark("commit")
 
-        for df in (decided, new_dec_from_spans):
+        for df in (decided, new_dec_from_spans, moved):
             df.unpersist()
         if evicted_full is not None:
             evicted_full.unpersist()
@@ -898,6 +1027,7 @@ class SamplingPipeline:
         n_dec = dec_export.count()
 
         self.store.write("pending_state", b, _empty(self.spark, PENDING_STATE_SCHEMA))
+        self.store.write_evmeta("pending_state", b, {"wm": {}, "counts": {}})
         self.store.write("pending_spans", b, _empty(self.spark, PENDING_SPANS_SCHEMA))
         self.store.write("decision_state", b, _empty(self.spark, DECISION_STATE_SCHEMA))
         self.store.write_evmeta("decision_state", b, {"wm": {}, "counts": {}})

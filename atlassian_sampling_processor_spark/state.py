@@ -85,6 +85,15 @@ _DEL = "_deleted"
 _V = "_v"
 
 
+def _kind_key(k: str):
+    """evmeta JSON wm keys → native kind values (decision kinds are ints,
+    pending tiers are strings)."""
+    try:
+        return int(k)
+    except ValueError:
+        return k
+
+
 def _field_names(schema) -> list[str]:
     """Column names from a StructType or a DDL schema string."""
     if hasattr(schema, "fieldNames"):
@@ -232,20 +241,21 @@ class StateStore:
         # measured ~3 s of fixed resolution cost at 6 × 32 files)
         delta.coalesce(8).write.mode("overwrite").parquet(self._delta_path(table, batch))
 
-    # -- epoch layout (FIFO decision cache, round 4) ------------------------
+    # -- epoch layout (FIFO decision cache, round 4; pending cache round 5) --
     #
     # Decisions are immutable and never recency-refreshed (first-wins,
     # processor.go:436-480), so the reference's decision-cache LRU order
     # IS insertion order — eviction can be FIFO by `decided_batch` epoch.
     # Instead of ranking the full O(capacity) chain on overflow
-    # (the round-3 shape), the store keeps decision_state as:
+    # (the round-3 shape), the store keeps an epoch table as:
     #
-    #   {table}/epoch/v={b}/        batch b's new decisions (O(delta) append)
-    #   {table}/evict/v={b}/        partial-eviction keys written at batch b
-    #                               (doc_id, decided_batch) — boundary epoch only
+    #   {table}/epoch/v={b}/        batch b's new rows (O(delta) append)
+    #   {table}/evict/v={b}/        per-row removal keys written at batch b
+    #                               (doc_id, <epoch col>) — boundary-epoch
+    #                               eviction victims and (pending) moved rows
     #   {table}/evmeta/v={b}.json   {"wm": {kind: epoch}, "counts": {epoch:
-    #                               [n_sampled, n_not_sampled]}} as of batch b
-    #   {table}/base/v={B}/decided_batch={e}/   compaction, epoch-partitioned
+    #                               [per-kind live counts]}} as of batch b
+    #   {table}/base/v={B}/<epoch col>={e}/   compaction, epoch-partitioned
     #
     # A row of kind k in epoch e is live iff e > wm[k] and (doc_id, e) has
     # no evict key. Whole-epoch eviction is a pure driver-side watermark
@@ -254,6 +264,34 @@ class StateStore:
     # The legacy chain layout remains readable underneath (old checkpoints,
     # flush()'s truncating legacy write) — read() unions epochs above the
     # newest full layout exactly like deltas.
+    #
+    # Two tables use it, each with its own (kind, epoch) keying:
+    #   decision_state: kind = decision (Sampled/NotSampled),
+    #                   epoch = decided_batch (immutable — rows never move)
+    #   pending_state:  kind = cache tier (primary/secondary, from priority),
+    #                   epoch = last_seen_batch. Pending recency REFRESHES,
+    #                   but only on touched rows — a refresh is a
+    #                   delta-shaped MOVE (evict key at the old epoch +
+    #                   append in the new), so the FIFO watermark trick
+    #                   still applies: LRU order is epoch order, with
+    #                   (arrival_batch, doc_id) ranking only inside the
+    #                   boundary epoch (the full-capacity recency rank the
+    #                   round-4 pipeline ran per overflow batch is gone).
+
+    def _epoch_cfg(self, table: str):
+        """(kind Column expr, epoch column name, kind values) for the
+        epoch-store tables. The wm filter/prune and the evict-key join are
+        expressed through these, so the machinery is shared."""
+        if table == "pending_state":
+            from .decision import PRIORITY_LOW
+
+            kind = F.when(
+                F.col("priority") == F.lit(PRIORITY_LOW), F.lit("secondary")
+            ).otherwise(F.lit("primary"))
+            return kind, "last_seen_batch", ("primary", "secondary")
+        from .decision import CACHED_KINDS
+
+        return F.col("decision"), "decided_batch", tuple(CACHED_KINDS)
 
     def _epoch_path(self, table: str, batch: int) -> str:
         return os.path.join(self.dir, table, "epoch", f"v={batch}")
@@ -278,10 +316,12 @@ class StateStore:
         df.coalesce(4).write.mode("overwrite").parquet(self._epoch_path(table, batch))
 
     def write_evict(self, table: str, batch: int, keys: DataFrame) -> None:
-        """Partial-eviction keys ``(doc_id, decided_batch)`` decided at
-        batch ``batch`` — kills those rows in their epoch only, so a later
-        re-decision of the same doc (a fresh epoch row) survives."""
-        keys.select("doc_id", "decided_batch").coalesce(1).write.mode(
+        """Removal keys ``(doc_id, <epoch col>)`` written at batch
+        ``batch`` — kills those rows in their epoch only, so a later
+        re-insert of the same doc (a fresh epoch row) survives. Used for
+        boundary-epoch eviction victims and (pending) epoch moves."""
+        _, epoch_col, _ = self._epoch_cfg(table)
+        keys.select("doc_id", epoch_col).coalesce(1).write.mode(
             "overwrite"
         ).parquet(self._evict_path(table, batch))
 
@@ -360,31 +400,29 @@ class StateStore:
         df = parts[0].select(*cols)
         for p in parts[1:]:
             df = df.unionByName(p.select(*cols))
+        kind_expr, epoch_col, all_kinds = self._epoch_cfg(table)
         em = self.read_evmeta(table, batch) or {}
-        wm = {int(k): int(v) for k, v in (em.get("wm") or {}).items()}
+        wm = {_kind_key(k): int(v) for k, v in (em.get("wm") or {}).items()}
         if wm:
             live = None
             for kind, w in wm.items():
-                term = (F.col("decision") != F.lit(kind)) | (
-                    F.col("decided_batch") > F.lit(w)
-                )
+                term = (kind_expr != F.lit(kind)) | (F.col(epoch_col) > F.lit(w))
                 live = term if live is None else live & term
-            # partition-prune conjunct: only sound when EVERY decision
-            # kind has a watermark — a kind absent from wm has watermark
-            # -1, and pruning at min(present wms) would delete its live
-            # rows in epochs the other kind already evicted
-            from .decision import CACHED_KINDS
-
-            if set(CACHED_KINDS) <= set(wm):
-                live = live & (F.col("decided_batch") > F.lit(min(wm.values())))
+            # partition-prune conjunct: only sound when EVERY kind has a
+            # watermark — a kind absent from wm has watermark -1, and
+            # pruning at min(present wms) would delete its live rows in
+            # epochs the other kind already evicted
+            if set(all_kinds) <= set(wm):
+                live = live & (F.col(epoch_col) > F.lit(min(wm.values())))
             df = df.filter(live)
         if evicts:
             ev = self.spark.read.parquet(*[p for _, p in evicts])
-            # tiny by construction: partial evictions are bounded by the
-            # boundary epoch's size, and compaction folds them away
+            # tiny by construction: evict keys are O(batch) per version —
+            # boundary-eviction victims plus (pending) moved rows — and
+            # compaction folds them away
             df = df.join(
-                F.broadcast(ev.select("doc_id", "decided_batch").distinct()),
-                ["doc_id", "decided_batch"],
+                F.broadcast(ev.select("doc_id", epoch_col).distinct()),
+                ["doc_id", epoch_col],
                 "left_anti",
             )
         return df
@@ -396,6 +434,7 @@ class StateStore:
         read path. Touches only that epoch's append file (or its base
         partition directory), never the capacity; prior partial-evict
         keys for the epoch are anti-joined (broadcast, tiny)."""
+        _, epoch_col, _ = self._epoch_cfg(table)
         floor, epochs, evicts = self._epoch_parts(table, batch)
         paths = [p for v, p in epochs if v == epoch]
         df = None
@@ -403,27 +442,26 @@ class StateStore:
             df = self.spark.read.parquet(paths[0]).select(*_field_names(schema))
         elif floor >= 0:
             bdir = os.path.join(
-                self._base_path(table, floor), f"decided_batch={epoch}"
+                self._base_path(table, floor), f"{epoch_col}={epoch}"
             )
             if os.path.isdir(bdir):
-                cols = [c for c in _field_names(schema) if c != "decided_batch"]
                 df = (
                     self.spark.read.parquet(bdir)
-                    .withColumn("decided_batch", F.lit(epoch).cast("int"))
+                    .withColumn(epoch_col, F.lit(epoch).cast("int"))
                     .select(*_field_names(schema))
                 )
         if df is None:  # legacy chain floor — resolve and filter (rare)
             df = self.read(table, batch, schema).filter(
-                F.col("decided_batch") == F.lit(epoch)
+                F.col(epoch_col) == F.lit(epoch)
             )
             return df
         if evicts:
             ev = self.spark.read.parquet(*[p for _, p in evicts]).filter(
-                F.col("decided_batch") == F.lit(epoch)
+                F.col(epoch_col) == F.lit(epoch)
             )
             df = df.join(
-                F.broadcast(ev.select("doc_id", "decided_batch").distinct()),
-                ["doc_id", "decided_batch"],
+                F.broadcast(ev.select("doc_id", epoch_col).distinct()),
+                ["doc_id", epoch_col],
                 "left_anti",
             )
         return df
@@ -433,19 +471,20 @@ class StateStore:
         epoch-partitioned base at ``batch`` — O(live rows), amortized over
         the epoch-append cadence; partition pruning keeps future watermark
         filters cheap."""
+        _, epoch_col, _ = self._epoch_cfg(table)
         live = self.read(table, batch, schema)
         shutil.rmtree(self._path(table, batch), ignore_errors=True)
         shutil.rmtree(self._delta_path(table, batch), ignore_errors=True)
         bp = self._base_path(table, batch)
         (
-            live.repartition(8, "decided_batch")
+            live.repartition(8, epoch_col)
             .write.mode("overwrite")
-            .partitionBy("decided_batch")
+            .partitionBy(epoch_col)
             .parquet(bp)
         )
         # zero live rows → dynamic partitioning wrote no files at all,
         # which is unreadable; fall back to a plain schema-bearing empty
-        if not any(n.startswith("decided_batch=") for n in os.listdir(bp)):
+        if not any(n.startswith(f"{epoch_col}=") for n in os.listdir(bp)):
             self.spark.createDataFrame([], schema=schema).write.mode(
                 "overwrite"
             ).parquet(bp)

@@ -142,16 +142,17 @@ def test_delta_chain_equivalence(spark, tmp_path, compact_every):
 
 def test_delta_commits_are_delta_sized(spark, tmp_path):
     """50 pending traces; batch 1 touches ONE of them. The pending_state
-    delta file for batch 1 must hold O(1) rows (tombstone + nothing),
-    while the resolved table still has the other 49 — the O(delta)-write
-    property the reference's in-place cache puts have natively
-    (lru_cache.go:63-71)."""
+    commit for batch 1 must hold O(1) rows (the moved row's evict key +
+    its re-insert — round 5's epoch layout), while the resolved table
+    still has the other 49 — the O(delta)-write property the reference's
+    in-place cache puts have natively (lru_cache.go:63-71)."""
     pipe = _mk(spark, tmp_path, "dsize", primary_cache_size=100)
     spans = [dict(doc_id=trace_id(1000 + i), span_id=1, batch_idx=0) for i in range(50)]
     spans.append(dict(doc_id=trace_id(1000), span_id=2, batch_idx=1))  # → sampled
     pipe.run(seq_table_from_spans(spark, spans))
-    delta = spark.read.parquet(pipe.store._delta_path("pending_state", 1))
-    assert delta.count() <= 2  # tombstone for the sampled trace (+slack)
+    epoch = spark.read.parquet(pipe.store._epoch_path("pending_state", 1))
+    evict = spark.read.parquet(pipe.store._evict_path("pending_state", 1))
+    assert epoch.count() + evict.count() <= 2  # move of the sampled trace
     resolved = pipe.store.read("pending_state", 1)
     assert resolved.count() == 49
     assert trace_id(1000) not in {r.doc_id for r in resolved.collect()}
