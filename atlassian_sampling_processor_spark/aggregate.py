@@ -119,6 +119,7 @@ def merge_with_pending(batch_agg: DataFrame, pending_state: DataFrame | None) ->
             F.lit(None).cast("int").alias("cached_priority"),
             F.lit(None).cast("string").alias("cached_last_low_policy"),
             F.lit(None).cast("int").alias("cached_arrival_batch"),
+            F.lit(None).cast("int").alias("cached_last_seen_batch"),
         )
     else:
         p = pending_state.select(
@@ -129,6 +130,10 @@ def merge_with_pending(batch_agg: DataFrame, pending_state: DataFrame | None) ->
             F.col("priority").alias("cached_priority"),
             F.col("last_low_policy").alias("cached_last_low_policy"),
             F.col("arrival_batch").alias("cached_arrival_batch"),
+            # the cached row's recency epoch — lets the pipeline derive
+            # pending epoch MOVES from the persisted decision frame
+            # instead of re-scanning pending_state (pipeline.py step 5)
+            F.col("last_seen_batch").alias("cached_last_seen_batch"),
         )
         merged = batch_agg.join(p, "doc_id", "left")
 

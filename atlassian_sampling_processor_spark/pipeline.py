@@ -397,12 +397,23 @@ class SamplingPipeline:
         # delta-shaped epoch moves: touched pending rows leave their old
         # epochs (their keys also become this batch's evict keys), updated
         # rows enter epoch b. `moved` is O(batch ∩ pending) — tiny — and
-        # reused by the state write below.
-        moved = (
-            pend_state.join(touched, "doc_id", "leftsemi")
-            .select("doc_id", "last_seen_batch", "priority")
-            .persist()
+        # reused by the state write below. The evaluated traces' old rows
+        # come straight from the persisted decision frame (the merge
+        # already joined them — cached_* columns), so the eviction step
+        # performs NO full-capacity scan; only the rare decision-span
+        # ingest path needs a pending_state key lookup.
+        moved = decided.filter(F.col("cached_span_count").isNotNull()).select(
+            "doc_id",
+            F.col("cached_last_seen_batch").alias("last_seen_batch"),
+            F.col("cached_priority").alias("priority"),
         )
+        if not new_dec_from_spans.isEmpty():
+            moved = moved.unionByName(
+                pend_state.join(
+                    new_dec_from_spans.select("doc_id"), "doc_id", "leftsemi"
+                ).select("doc_id", "last_seen_batch", "priority")
+            )
+        moved = moved.persist()
         mv = (
             moved.select(
                 F.col("last_seen_batch").alias("e"), tier.alias("t"), F.lit(-1).alias("d")

@@ -162,6 +162,50 @@ def calibrate_machine(procs: int, seconds: float = 6.0) -> float:
     return total / seconds
 
 
+def _ref_task(n_ops: int) -> float:
+    """FIXED amount of single-thread work (seeded 400×400 matmul chain)
+    timed inside the spawned child — the BLAS pinning env applies at its
+    numpy import. Returns the wall in seconds."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((400, 400))
+    t0 = time.perf_counter()
+    for _ in range(n_ops):
+        a = a @ a
+        a /= np.abs(a).max()  # keep values bounded; part of the fixed work
+    return time.perf_counter() - t0
+
+
+def reference_task_wall(n_ops: int = 600) -> float:
+    """Wall of a fixed, deterministic single-thread micro-task — the
+    host-speed yardstick stored in every headline JSON. Cross-session
+    throughput comparisons divide by the ratio of reference walls to
+    cancel host drift (the round-4 artifact read as a 2× regression
+    purely because the host slowed between rounds; see BENCH/BASELINE.md
+    'Normalizing across sessions')."""
+    import multiprocessing as mp
+
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1) as p:
+        return p.apply(_ref_task, (n_ops,))
+
+
+def machine_calibration() -> dict:
+    """Host-speed figures emitted with the headline JSON so any
+    cross-session comparison can normalize instead of re-benching:
+    ``ref_task_wall_sec`` (fixed work, lower = faster host) and the
+    BLAS-pinned parallel matmul fleet at the bench's core count."""
+    return {
+        "ref_task_wall_sec": round(reference_task_wall(), 3),
+        "matmul_ops_per_sec": round(calibrate_machine(CPUS, seconds=4.0), 1),
+        "procs": CPUS,
+    }
+
+
 def scaling_bench(corpus: str) -> dict:
     """Same pipeline benchmark at N and 4N cores → throughput at both,
     absolute efficiency = (T_N/T_4N)/4, and efficiency relative to the
@@ -234,6 +278,12 @@ def main():
         os.sched_setaffinity(0, set(range(CPUS)))
     pipeline_only = os.environ.get("ASP_BENCH_MODE") == "pipeline_only"
     corpus = corpus_path()
+    # host-speed yardstick measured BEFORE the JVM spins up (idle
+    # machine), skipped in the scaling legs (scaling_bench calibrates
+    # adjacent to each trial already)
+    calibration = None if pipeline_only else machine_calibration()
+    if calibration:
+        log(f"calibration: {calibration}")
 
     if scaling_mode:
         res = scaling_bench(corpus)
@@ -288,6 +338,8 @@ def main():
         "cpus": CPUS,
         "pipeline": pipe_res,
     }
+    if calibration:
+        out["calibration"] = calibration
     if not pipeline_only:
         qt = run_query_bench(spark)
         out["queries"] = {**{k: v for k, v in qt.items()}, "pipeline_e2e": pipe_res["wall_sec"]}
