@@ -84,15 +84,23 @@ def make_decision(merged: DataFrame, policies: list[Policy]) -> DataFrame:
 
 def decision_from_column(policies: list[Policy]) -> Column:
     """The ``decision_from`` telemetry dimension (decider.go:60-74):
-    for Sampled/NotSampled decisions, the winning policy's
-    ``record_decision_from`` resource attribute (we carry service.name
-    as first_source), mapped through the policy's ordered regex groupers
-    — first match wins, unmatched passes through (policy.go:33-67)."""
+    for Sampled/NotSampled decisions, the winning policy's configured
+    ``record_decision_from`` resource attribute — ANY attribute of the
+    trace's first resource (decider.go:175-188), derived from
+    first_source via the deterministic resource fixture
+    (parse.resource_attr_expr); an attribute outside the resource model
+    is "" (the reference's missing-attribute result). The value is then
+    mapped through the policy's ordered regex groupers — first match
+    wins, unmatched passes through (policy.go:33-67)."""
+    from .parse import resource_attr_expr
+
     out = F.lit("")
     for p in policies:
         if not p.record_decision_from:
             continue
-        src = F.col(AGG.FIRST_SOURCE) if p.record_decision_from == "service.name" else F.lit("")
+        src = resource_attr_expr(p.record_decision_from, F.col(AGG.FIRST_SOURCE))
+        if src is None:
+            src = F.lit("")
         grouped = src
         for regex, group in reversed(p.decision_groupers):
             grouped = F.when(src.rlike(regex), F.lit(group)).otherwise(grouped)

@@ -178,6 +178,36 @@ def enrich_core(df: DataFrame) -> DataFrame:
     )
 
 
+# Resource attributes of the span's service, derived deterministically
+# from the source column (the token header carries one resource slot —
+# source_id — so the richer resource surface is a fixture assignment,
+# the same approach as scope_name/scope_version and kind). Shared by the
+# OTTL span context (resource.attributes[...]) and the decider's
+# record_decision_from extraction (decider.go:175-188 reads ANY
+# configured resource attribute, not just service.name).
+RESOURCE_ATTR_KEYS = ("service.name", "service.namespace", "deployment.environment")
+_ENVIRONMENTS = ("prod", "staging", "dev")
+
+
+def resource_attr_expr(key: str, source):
+    """Column for resource attribute ``key`` of the service named by the
+    ``source`` Column — None when the key is not in the resource model
+    (the reference yields "" for an absent attribute)."""
+    if key == "service.name":
+        return source
+    if key == "service.namespace":
+        # the team/namespace prefix of the service name ("jira-frontend"
+        # → "jira"); sources without a dash pass through whole
+        return F.split(source, "-").getItem(0)
+    if key == "deployment.environment":
+        # deterministic per-service environment fixture; pmod keeps the
+        # index non-negative for negative hashes (ANSI abs would throw
+        # on LONG_MIN)
+        idx = F.pmod(F.xxhash64(source), F.lit(len(_ENVIRONMENTS))).cast("int")
+        return F.element_at(F.array(*[F.lit(e) for e in _ENVIRONMENTS]), idx + 1)
+    return None
+
+
 def enrich_spans(df: DataFrame) -> DataFrame:
     """Full span surface: core + string/map fields from numeric codes —
     still pure Catalyst expressions."""
@@ -196,11 +226,18 @@ def enrich_spans(df: DataFrame) -> DataFrame:
         .withColumn("attrs", _attr_map("attr_code"))
         .withColumn("event_name", _idx_lookup(codec.EVENT_NAMES, F.col("event_name_id")))
         # OTTL wave-3 surface (internal/evaluators/ottl.go span context):
-        # resource attrs (service.name == the source column) and span kind
+        # resource attrs (service.name == the source column, plus the
+        # derived fixture attrs — see resource_attr_expr) and span kind
         # (deterministic per-name fixture assignment, codec.NAME_KINDS)
         .withColumn(
             "resource_attrs",
-            F.create_map(F.lit("service.name"), F.col("source")),
+            F.create_map(
+                *[
+                    c
+                    for k in RESOURCE_ATTR_KEYS
+                    for c in (F.lit(k), resource_attr_expr(k, F.col("source")))
+                ]
+            ),
         )
         .withColumn(
             "kind",

@@ -441,6 +441,61 @@ SQL_DECISION_GROUPS = """
 """
 
 
+def q_decision_groups_res_attr(spark, sf_dir):
+    """record_decision_from over a NON-service.name resource attribute
+    (decider.go:175-188 extracts ANY configured attr; round 5 closes the
+    service.name-only gap). Service names are synthesized with a
+    namespace prefix; the REAL policy config + decision_from_column
+    machinery extracts `service.namespace` and applies the grouper."""
+    from . import decision as D
+    from .config import parse_policies
+    from .decider import decision_from_column
+
+    pols = parse_policies(
+        [
+            {
+                "name": "ns",
+                "type": "span_count",
+                "span_count": {"min_spans": 1},
+                "record_decision_from": {
+                    "res_attr_key": "service.namespace",
+                    "mappings": [{"pattern": "^team[01]$", "value": "core-teams"}],
+                },
+            }
+        ]
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    svc = F.concat(
+        F.lit("team"),
+        (F.regexp_extract("source", "([0-9]+)", 1).cast("int") % 3).cast("string"),
+        F.lit("-"),
+        F.col("source"),
+    )
+    merged_like = docs.select(
+        svc.alias("first_source"),
+        F.lit("ns").alias("policy"),
+        F.lit(D.SAMPLED).alias("decision"),
+    )
+    return (
+        merged_like.select(decision_from_column(pols).alias("decision_from"))
+        .groupBy("decision_from")
+        .agg(F.count(F.lit(1)).alias("decisions"))
+    )
+
+
+SQL_DECISION_GROUPS_RES_ATTR = """
+  WITH svc AS (
+    SELECT 'team' || CAST(CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3 AS VARCHAR)
+             || '-' || source AS name
+    FROM documents
+  )
+  SELECT CASE WHEN regexp_matches(split_part(name, '-', 1), '^team[01]$')
+              THEN 'core-teams' ELSE split_part(name, '-', 1) END AS decision_from,
+         CAST(count(*) AS BIGINT) AS decisions
+  FROM svc GROUP BY 1
+"""
+
+
 def sampling_queries() -> dict[str, tuple]:
     """name → (spark_builder, oracle_sql_or_None)."""
     return {
@@ -454,6 +509,7 @@ def sampling_queries() -> dict[str, tuple]:
         "metadata_merge": (q_metadata_merge, SQL_METADATA_MERGE),
         "lru_eviction_rank": (q_lru_eviction, SQL_LRU_EVICTION),
         "decision_groups_regex": (q_decision_groups, SQL_DECISION_GROUPS),
+        "decision_groups_res_attr": (q_decision_groups_res_attr, SQL_DECISION_GROUPS_RES_ATTR),
         "two_batch_stateful_decisions": (q_two_batch_stateful, SQL_TWO_BATCH_STATEFUL),
         "and_policy": (q_and_policy, SQL_AND_POLICY),
         "root_spans_policy": (q_root_spans_policy, SQL_ROOT_SPANS),
@@ -521,6 +577,7 @@ def q_two_batch_stateful(spark, sf_dir):
         F.lit(2).alias("priority"),
         F.lit(None).cast("string").alias("last_low_policy"),
         F.lit(0).alias("arrival_batch"),
+        F.lit(0).alias("last_seen_batch"),
     )
 
     # decision-cache short circuit: traces decided in b0 skip evaluation

@@ -427,6 +427,54 @@ def test_metrics_decision_from_and_cache_reads(spark, tmp_dirs):
     assert reads0 == {"true": 0, "false": 1}
 
 
+def test_decision_from_arbitrary_resource_attr(spark, tmp_dirs):
+    """record_decision_from with a NON-service.name resource attribute
+    (decider.go:175-188 extracts any configured attr): the namespace
+    fixture attr of source 'conf-editor' is 'conf', grouped by regex;
+    an attribute outside the resource model yields '' (the reference's
+    missing-attribute result)."""
+    pols = [
+        {
+            "name": "ns",
+            "type": "span_count",
+            "span_count": {"min_spans": 1},
+            "record_decision_from": "service.namespace",
+            "decision_groupers": [{"regex": "^conf$", "group": "conf-team"}],
+        }
+    ]
+    pipe = make_pipe(spark, pols, tmp_dirs)
+    run_batches(
+        pipe, spark,
+        [dict(doc_id=trace_id(71), span_id=1, source_id=2, batch_idx=0)],
+    )
+    m = pipe.store.read("metrics", 0).collect()
+    rows = [r for r in m if r.metric == "policy_decisions" and r.labels.get("policy") == "ns"]
+    assert rows and rows[0].labels["decision_from"] == "conf-team"
+
+    # unknown attr key → "" (and groupers can't match)
+    pols2 = [
+        {
+            "name": "nk",
+            "type": "span_count",
+            "span_count": {"min_spans": 1},
+            "record_decision_from": "custom.attr",
+            "decision_groupers": [{"regex": ".*", "group": "never"}],
+        }
+    ]
+    import shutil as _sh
+
+    for d in tmp_dirs:
+        _sh.rmtree(d, ignore_errors=True)
+    pipe2 = make_pipe(spark, pols2, tmp_dirs)
+    run_batches(
+        pipe2, spark,
+        [dict(doc_id=trace_id(72), span_id=1, source_id=2, batch_idx=0)],
+    )
+    m2 = pipe2.store.read("metrics", 0).collect()
+    rows2 = [r for r in m2 if r.metric == "policy_decisions" and r.labels.get("policy") == "nk"]
+    assert rows2 and rows2[0].labels["decision_from"] == "never"
+
+
 def test_salted_agg_identical_results(spark, tmp_dirs):
     """salt_buckets>0 two-phase aggregation routes identically to the
     plain groupBy (north rule: salted two-phase agg on the trace key)."""
