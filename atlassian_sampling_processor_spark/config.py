@@ -165,6 +165,14 @@ def _parse_record_decision_from(name: str, entry: dict[str, Any]) -> tuple[str, 
                     f"policy {name!r}: record_decision_from.mappings[{i}].pattern"
                     f" {pattern!r} is not a valid regex: {exc}"
                 ) from exc
+            # the reference compiles these with Go regexp (RE2,
+            # config.go:116-140) — Java-only constructs fail it at startup
+            from .policies.ottl import ensure_re2_compatible
+
+            try:
+                ensure_re2_compatible(pattern, "record_decision_from mapping")
+            except PolicyError as exc:
+                raise PolicyError(f"policy {name!r}: {exc}") from exc
             mappings.append((pattern, m.get("value", "")))
         return key, mappings
     groupers = entry.get("decision_groupers", []) or entry.get("decision_grouping", [])

@@ -519,6 +519,7 @@ def sampling_queries() -> dict[str, tuple]:
         "ottl_wave3_policy": (q_ottl_wave3_policy, SQL_OTTL_WAVE3),
         "ottl_propagate_policy": (q_ottl_propagate_policy, SQL_OTTL_PROPAGATE),
         "ottl_wave5_policy": (q_ottl_wave5_policy, SQL_OTTL_WAVE5),
+        "ottl_wave6_policy": (q_ottl_wave6_policy, SQL_OTTL_WAVE6),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -955,6 +956,58 @@ SQL_OTTL_WAVE5 = """
                OR (event_id % 5 = 0
                    AND json_extract_string(props, '$.k') IS NOT NULL
                    AND CAST(event_id % 3 AS VARCHAR) || '.1.0' >= '2')
+             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ottl_wave6_policy(spark, sf_dir):
+    """ottl_condition, wave-6 grammar (round 5): ``Time`` (ctime-format
+    parse), ``TruncateTime``, ``UnixNano``, ``Duration`` arithmetic and
+    ``Split(...)[n]``, compiled through the real OTTLCondition builder.
+    The condition is timezone-proof by construction: the engine formats
+    the timestamp to a string and Time() re-parses it in the same
+    session zone (round trip = identity), and the sub-minute remainder
+    compared against Duration("30s") is invariant under any whole-minute
+    zone offset — so the query matches the naive-timestamp DuckDB oracle
+    regardless of the gate session's timezone."""
+    from .policies import OTTLCondition
+
+    t_expr = 'Time(attributes["t"], "%Y-%m-%d %H:%M:%S")'
+    pol = OTTLCondition(
+        name="wave6",
+        span_conditions=[
+            f"UnixNano({t_expr}) - UnixNano(TruncateTime({t_expr},"
+            ' Duration("1m"))) >= Duration("30s")'
+            ' or Split(attributes["csv"], "-")[0] == "error"'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(
+            F.lit("t"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("csv"),
+            F.concat("event_type", F.lit("-"), (F.col("event_id") % 5).cast("string")),
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE6 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN
+                  CAST(strftime(CAST(ts AS TIMESTAMP), '%S') AS INT) >= 30
+               OR split_part(event_type || '-' || CAST(event_id % 5 AS VARCHAR),
+                             '-', 1) = 'error'
              THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id

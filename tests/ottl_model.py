@@ -29,7 +29,10 @@ _NUMERIC_HEADS = {
     "status.code",
     "kind",
     "span.kind",
+    "time_unix_nano",
+    "dropped_attributes_count",
 }
+_TIME_HEADS = {"start_time", "end_time"}
 _INT_RE = re.compile(r"^[+-]?[0-9]+$")
 
 
@@ -108,6 +111,14 @@ def _path_value(parts, ctx, span):
         return span.get("scope_name")
     if head == "instrumentation_scope.version":
         return span.get("scope_version")
+    if head in ("start_time",):
+        return span.get("start_ts")
+    if head == "end_time":
+        return span.get("end_ts")
+    if head == "time_unix_nano":  # spanevent time fixture = span start
+        return span.get("start_ts")
+    if head == "dropped_attributes_count":
+        return 0
     raise OttlError(f"model: unknown path {parts!r}")
 
 
@@ -123,6 +134,8 @@ def _static_type(ast) -> str:
             return "double"
         return "string"
     if kind == "path":
+        if ast[1][0] in _TIME_HEADS:
+            return "time"
         return "int" if ast[1][0] in _NUMERIC_HEADS else "string"
     if kind == "len":
         return "int"
@@ -131,6 +144,10 @@ def _static_type(ast) -> str:
     if kind == "arith":
         l, r = _static_type(ast[2]), _static_type(ast[3])
         return "int" if l == "int" and r == "int" else "double"
+    if kind in ("time", "trunctime"):
+        return "time"
+    if kind in ("hour", "unixnano"):
+        return "int"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
     return "string"
@@ -138,7 +155,7 @@ def _static_type(ast) -> str:
 
 def _arith_side(ast, ctx, span):
     v = eval_operand(ast, ctx, span)
-    if _static_type(ast) in ("int", "double"):
+    if _static_type(ast) in ("int", "double", "time"):
         return v
     return _to_double(v, err=True)  # present non-numeric operand errors
 
@@ -201,6 +218,38 @@ def eval_operand(ast, ctx, span):
         if lv is None or rv is None:
             return None
         return (lv + rv) if ast[1] == "+" else (lv - rv)
+    if kind == "time":
+        # parse with the ORIGINAL Go ctime format (ast[3]) in UTC —
+        # independent of the engine's Spark-pattern translation
+        import datetime as dt
+
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Time(nil)")
+        pyfmt = ast[3].replace("%F", "%Y-%m-%d").replace("%T", "%H:%M:%S")
+        try:
+            t = dt.datetime.strptime(s, pyfmt).replace(tzinfo=dt.timezone.utc)
+        except ValueError:
+            raise OttlError(f"Time({s!r})") from None
+        return int(t.timestamp()) * 1_000_000_000 + t.microsecond * 1000
+    if kind == "trunctime":
+        v = eval_operand(ast[1], ctx, span)
+        if v is None:
+            return None
+        return v - (v % ast[2])
+    if kind == "hour":
+        v = eval_operand(ast[1], ctx, span)
+        if v is None:
+            return None
+        return (v % 86_400_000_000_000) // 3_600_000_000_000
+    if kind == "unixnano":
+        return eval_operand(ast[1], ctx, span)
+    if kind == "splitget":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Split(nil)")
+        parts = s.split(ast[2])
+        return parts[ast[3]] if 0 <= ast[3] < len(parts) else None
     if kind in ("ismatch", "isroot", "istype"):
         return eval_bool(ast, ctx, span)
     raise OttlError(f"model: invalid operand {ast!r}")
@@ -215,7 +264,7 @@ def _coerce_cmp(l_ast, r_ast, lv, rv):
     to double, unparseable → None (NOT an error); bool vs string renders
     the bool."""
     lt, rt = _static_type(l_ast), _static_type(r_ast)
-    num = ("int", "double")
+    num = ("int", "double", "time")
     if lt in num and rt not in num:
         rv = _to_double(rv, err=False)
     elif rt in num and lt not in num:

@@ -158,6 +158,12 @@ def test_record_decision_from_validation():
         parse_policies([{**base, "record_decision_from": {
             "res_attr_key": "service.name",
             "mappings": [{"pattern": "([", "value": "x"}]}}])
+    # Java-only regex constructs (invalid RE2) fail-to-start, matching
+    # the reference's Go regexp compile at config load (round-5 guard)
+    with pytest.raises(PolicyError, match="RE2"):
+        parse_policies([{**base, "record_decision_from": {
+            "res_attr_key": "service.name",
+            "mappings": [{"pattern": "(?=abc).*", "value": "x"}]}}])
 
 
 def test_engine_validation_rejected():

@@ -22,10 +22,17 @@ from .test_policies_golden import SPAN_SCHEMA, span_row
 
 PATHS = [
     'attributes["k1"]', 'attributes["num"]', 'attributes["missing"]',
+    'attributes["t"]',
     'resource.attributes["service.name"]', "name", "kind", "status.code",
     "start_time_unix_nano", "end_time_unix_nano",
     "instrumentation_scope.name", "instrumentation_scope.version",
     "trace_id.string", "span_id.string",
+]
+TIME_OPS = [  # wave 6: time-typed expressions (paths + Time parses)
+    "start_time", "end_time",
+    'Time(attributes["t"], "%Y-%m-%d %H:%M:%S")',
+    'TruncateTime(Time(attributes["t"], "%Y-%m-%d %H:%M:%S"), Duration("1m"))',
+    'TruncateTime(start_time, Duration("2s"))',
 ]
 LITS = ['"x"', '"42"', "7", "3.5", "-1", "0", "true", "false", "nil"]
 CMPS = ["==", "!=", ">", ">=", "<", "<="]
@@ -50,10 +57,14 @@ def rnd_operand(rng: random.Random, depth: int = 0) -> str:
         return f"{rng.choice(['Int', 'Double', 'String'])}({inner()})"
     if roll < 0.8:
         return f'Concat([{inner()}, {inner()}], "-")'
-    if roll < 0.88:
+    if roll < 0.84:
         return f"{inner()} {rng.choice(['+', '-'])} {inner()}"
-    if roll < 0.94:
+    if roll < 0.88:
         return f'ParseJSON({inner()})["a"]'
+    if roll < 0.91:
+        return f"{rng.choice(['UnixNano', 'Hour'])}({rng.choice(TIME_OPS)})"
+    if roll < 0.94:
+        return f'Split({inner()}, "{rng.choice([",", "-"])}")[{rng.randint(0, 2)}]'
     return f'Duration("{rng.choice(["5ms", "2s", "1h30m"])}")'
 
 
@@ -75,11 +86,11 @@ def rnd_bool(rng: random.Random, depth: int = 0) -> str:
 
 
 ADVERSARIAL_SPANS = [
-    dict(attrs={"k1": "x", "num": "42"}),
-    dict(attrs={"num": "not-a-number"}, name="7"),
+    dict(attrs={"k1": "x", "num": "42", "t": "2024-03-05 14:47:30"}),
+    dict(attrs={"num": "not-a-number", "t": "not a date"}, name="7"),
     dict(attrs={}),
-    dict(attrs={"k1": '{"a": 1}', "num": "1e3"}, event_name="exception",
-         event_attrs={"k1": "y"}),
+    dict(attrs={"k1": '{"a": 1}', "num": "1e3", "t": "2024-03-05 00:00:01"},
+         event_name="exception", event_attrs={"k1": "y"}),
     dict(attrs={"k1": "{broken json", "num": "-0"}, is_root=True),
 ]
 
