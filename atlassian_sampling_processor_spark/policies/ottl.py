@@ -33,7 +33,15 @@ plus the forms real configs hit immediately beyond them:
   error), ``TruncateTime(time, Duration(...))``, ``Hour(time)``,
   ``UnixNano(time)``, ``Split(target, "delim")[n]`` (literal delimiter,
   out-of-range index → nil), the ``start_time``/``end_time`` TIME paths,
-  and spanevent ``time_unix_nano``/``dropped_attributes_count``. IsMatch
+  and spanevent ``time_unix_nano``/``dropped_attributes_count``; wave 7
+  (round 5): ``Trim(target[, cutset])`` (strings.Trim cutset semantics),
+  the digest converters ``SHA1``/``SHA256``/``MD5`` (lowercase hex), the
+  duration folds ``Hours``/``Minutes``/``Seconds`` (float64) and
+  ``Milliseconds``/``Microseconds``/``Nanoseconds`` (int64), the
+  calendar extractors ``Day``/``Month``/``Year``/``Minute``/``Second``
+  (UTC, like ``Hour``), ``UnixSeconds``/``UnixMilli``/``UnixMicro``, and
+  ``Log(value)`` (natural log; value ≤ 0, nil, or non-numeric is an
+  eval error, per ottlfuncs func_log). IsMatch
   and grouper patterns are build-time rejected when they use Java-regex
   constructs RE2 cannot compile (lookarounds, backreferences, atomic
   groups, possessive quantifiers) — fail-to-start parity with the
@@ -395,6 +403,77 @@ class _Parser:
                         f"OTTL: ParseJSON(...) must be indexed with [\"key\"] in {self.src!r}"
                     )
                 return node
+            if v == "Trim":  # ottlfuncs func_trim: strings.Trim with a
+                # CUTSET (default " "); StandardStringGetter → nil errors
+                self._expect("lparen")
+                target = self.parse_operand()
+                cutset = " "
+                if self._peek()[0] == "comma":
+                    self._next()
+                    cutset = _unquote(self._expect("string"))
+                self._expect("rparen")
+                if not cutset:
+                    raise PolicyError(f"OTTL: Trim cutset must not be empty in {self.src!r}")
+                return ("trim", target, cutset)
+            if v in ("SHA1", "SHA256", "MD5"):  # ottlfuncs func_sha1 /
+                # func_sha256 / func_md5: lowercase hex digest of the
+                # UTF-8 bytes; StandardStringGetter → nil errors
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("hashconv", target, v.lower())
+            if v in ("Hours", "Minutes", "Seconds", "Milliseconds",
+                     "Microseconds", "Nanoseconds"):
+                # ottlfuncs func_hours/.../func_nanoseconds: the
+                # time.Duration fold methods — h/m/s → float64,
+                # ms/us/ns → int64. Durations are int64 nanos in this
+                # engine (Duration(...) literals, time subtraction), so
+                # the target must be statically numeric.
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                if _static_type(target) not in ("int", "double"):
+                    raise PolicyError(
+                        f"OTTL: {v} target must be a duration value "
+                        f"(Duration(...) or time arithmetic) in {self.src!r}"
+                    )
+                return ("durfold", target, v.lower())
+            if v in ("Day", "Month", "Year", "Minute", "Second"):
+                # ottlfuncs func_day/month/year/minute/second: time.Time
+                # calendar parts → int64, in the time's location (UTC
+                # here, like Go time.Parse with no zone)
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                if _static_type(target) != "time":
+                    raise PolicyError(
+                        f"OTTL: {v} target must be a time value "
+                        f"(Time(...) or start_time/end_time) in {self.src!r}"
+                    )
+                return ("timepart", target, v.lower())
+            if v in ("UnixSeconds", "UnixMilli", "UnixMicro"):
+                # ottlfuncs func_unix_seconds/milli/micro: time.Time →
+                # int64 (Go floor-of-seconds / truncating ns division;
+                # identical for the non-negative times this engine sees)
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                if _static_type(target) != "time":
+                    raise PolicyError(
+                        f"OTTL: {v} target must be a time value "
+                        f"(Time(...) or start_time/end_time) in {self.src!r}"
+                    )
+                div = {"UnixSeconds": 1_000_000_000,
+                       "UnixMilli": 1_000_000,
+                       "UnixMicro": 1_000}[v]
+                return ("unixdiv", target, div)
+            if v == "Log":  # ottlfuncs func_log: natural log of a
+                # FloatLike value; value <= 0 (or non-numeric, or nil)
+                # is an eval error
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("logconv", target)
             if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
@@ -404,7 +483,11 @@ class _Parser:
                 raise PolicyError(
                     f"OTTL: unknown converter {v!r} in {self.src!r} "
                     "(supported: IsMatch, Len, Substring, ConvertCase, "
-                    "Concat, Int, Double, String)"
+                    "Concat, Int, Double, String, Is*, ParseJSON, Duration, "
+                    "Time, TruncateTime, Hour/Day/Month/Year/Minute/Second, "
+                    "UnixNano/UnixMicro/UnixMilli/UnixSeconds, Split, Trim, "
+                    "SHA1/SHA256/MD5, Hours/Minutes/Seconds/Milliseconds/"
+                    "Microseconds/Nanoseconds, Log)"
                 )
             return ("path", [v])
         raise PolicyError(f"OTTL: unexpected token {v!r} in {self.src!r}")
@@ -629,9 +712,61 @@ def _operand_column(ast, ctx: str) -> Column:
         # Go strings.Split is a LITERAL delimiter; Spark split takes a
         # regex — escape it. Out-of-range index → NULL (nil), not error.
         return F.get(F.split(tgt, re.escape(ast[2]), -1), ast[3])
+    if kind == "trim":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        return F.btrim(tgt, F.lit(ast[2]))  # btrim = strings.Trim cutset
+    if kind == "hashconv":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        if ast[2] == "sha1":
+            return F.sha1(tgt)
+        if ast[2] == "sha256":
+            return F.sha2(tgt, 256)
+        return F.md5(tgt)  # all three: lowercase hex, like contrib
+    if kind == "durfold":
+        c = _numeric_operand(ast[1], ctx)
+        unit = ast[2]
+        if unit in ("hours", "minutes", "seconds"):
+            div = {"hours": 3_600_000_000_000.0, "minutes": 60_000_000_000.0,
+                   "seconds": 1_000_000_000.0}[unit]
+            # Go computes sec + nsec/1e9 in two terms; single division
+            # differs by ≤1 ULP only above 2^53 ns (~104 days)
+            return c / F.lit(div)
+        if unit == "nanoseconds":
+            return c
+        # Go's Duration.Milliseconds()/Microseconds() divide int64s —
+        # truncation toward ZERO, which matters for negative durations
+        # (floor would differ); Spark's % keeps the dividend's sign, so
+        # c - c%d is the zero-ward multiple
+        d = {"milliseconds": 1_000_000, "microseconds": 1_000}[unit]
+        return F.round((c - (c % F.lit(d))) / F.lit(d)).cast("long")
+    if kind == "timepart":
+        c = _operand_column(ast[1], ctx)
+        unit = ast[2]
+        if unit == "minute":
+            return _floordiv(F.pmod(c, F.lit(3_600_000_000_000)), 60_000_000_000)
+        if unit == "second":
+            return _floordiv(F.pmod(c, F.lit(60_000_000_000)), 1_000_000_000)
+        ts = F.timestamp_micros(_floordiv(c, 1000))  # session TZ pinned UTC
+        fn = {"day": F.dayofmonth, "month": F.month, "year": F.year}[unit]
+        return fn(ts).cast("long")
+    if kind == "unixdiv":
+        return _floordiv(_operand_column(ast[1], ctx), ast[2])
+    if kind == "logconv":
+        x = _numeric_operand(ast[1], ctx)
+        return F.when(x > 0, F.log(x))  # <= 0 → NULL (an error, see error_column)
     if kind in ("ismatch", "isroot", "istype"):
         return to_column(ast, ctx)
     raise PolicyError(f"OTTL: invalid operand {ast!r}")
+
+
+def _floordiv(c: Column, d: int) -> Column:
+    """Exact floor-division of an int64 Column by a positive int, without
+    the double-precision trap: ``c - pmod(c, d)`` is exact long
+    arithmetic and an exact multiple of ``d``; the one double division
+    then carries error ≪ 0.5, which ``round`` removes. (A plain
+    ``(c / d).cast("long")`` is wrong above 2^53 and truncates toward
+    zero; pmod gives Go's floor semantics.)"""
+    return F.round((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
 
 
 # path heads whose resolved columns are already numeric (long/int) — safe
@@ -665,7 +800,9 @@ def _ast_is_numeric(ast) -> bool:
         return True  # both sides already coerced numeric
     if kind in ("time", "trunctime", "hour", "unixnano"):
         return True  # int64 unix nanos / hour-of-day
-    return False  # substr/case/concat/ismatch/string paths
+    if kind in ("durfold", "timepart", "unixdiv", "logconv"):
+        return True  # duration folds / calendar parts / unix divs / ln
+    return False  # substr/case/concat/trim/hashconv/ismatch/string paths
 
 
 def _numeric_operand(ast, ctx: str) -> Column:
@@ -705,11 +842,15 @@ def _static_type(ast) -> str:
         return "int" if l == "int" and r == "int" else "double"
     if kind in ("time", "trunctime"):
         return "time"
-    if kind in ("hour", "unixnano"):
+    if kind in ("hour", "unixnano", "timepart", "unixdiv"):
         return "int"
+    if kind == "durfold":
+        return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
+    if kind == "logconv":
+        return "double"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
-    return "string"  # substr/case/concat/jsonget/splitget
+    return "string"  # substr/case/concat/trim/hashconv/jsonget/splitget
 
 
 def _is_numeric_lit(ast) -> bool:
@@ -794,7 +935,8 @@ def validate_paths(ast, ctx: str) -> None:
     elif kind == "not":
         validate_paths(ast[1], ctx)
     elif kind in ("ismatch", "len", "substr", "case", "time", "trunctime",
-                  "hour", "unixnano", "splitget"):
+                  "hour", "unixnano", "splitget", "trim", "hashconv",
+                  "durfold", "timepart", "unixdiv", "logconv"):
         validate_paths(ast[1], ctx)
     elif kind in ("cast", "istype"):
         if kind == "istype" and ast[1] != "string" and ast[2][0] == "jsonget":
@@ -881,10 +1023,28 @@ def error_column(ast, ctx: str) -> Column:
         parsed = F.try_to_timestamp(tgt, F.lit(ast[2]))
         bad = tgt.isNotNull() & parsed.isNull()
         return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(bad, f)
-    if kind in ("trunctime", "hour", "unixnano"):
+    if kind in ("trunctime", "hour", "unixnano", "timepart", "unixdiv"):
         # time-typed operands carry their own errors (a failed Time()
         # parse is flagged at the Time node; the time paths are never nil)
         return error_column(ast[1], ctx)
+    if kind in ("trim", "hashconv"):
+        # StandardStringGetter family (func_trim / func_sha1/sha256/md5):
+        # Get on a nil value errors
+        tgt = _operand_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "durfold":
+        # StandardDurationGetter: nil errors; targets are statically
+        # numeric (build-checked) so non-numeric can only arrive via a
+        # cast converter, whose own node already flags it
+        tgt = _operand_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "logconv":
+        # func_log: FloatLike nil/non-numeric errors + the explicit
+        # value-must-be-positive guard
+        tgt = _operand_column(ast[1], ctx)
+        x = _numeric_operand(ast[1], ctx)
+        bad = tgt.isNotNull() & (x.isNull() | (x <= 0))
+        return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(bad, f)
     if kind == "splitget":
         # func_split: StandardStringLikeGetter nil error; an
         # out-of-range index is nil, not an error

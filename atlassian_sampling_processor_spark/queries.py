@@ -520,6 +520,7 @@ def sampling_queries() -> dict[str, tuple]:
         "ottl_propagate_policy": (q_ottl_propagate_policy, SQL_OTTL_PROPAGATE),
         "ottl_wave5_policy": (q_ottl_wave5_policy, SQL_OTTL_WAVE5),
         "ottl_wave6_policy": (q_ottl_wave6_policy, SQL_OTTL_WAVE6),
+        "ottl_wave7_policy": (q_ottl_wave7_policy, SQL_OTTL_WAVE7),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -1000,6 +1001,62 @@ def q_ottl_wave6_policy(spark, sf_dir):
         "trace_key",
         F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
     )
+
+
+def q_ottl_wave7_policy(spark, sf_dir):
+    """ottl_condition, wave-7 grammar (round 5): ``Trim``, the digest
+    converters (``SHA256``/``MD5``), the calendar extractor ``Minute``
+    over a ``Time(...)`` parse, and ``Log`` — compiled through the real
+    OTTLCondition builder. Timezone-proof like wave 6: the engine
+    formats-then-reparses the timestamp in one session zone, and
+    minute-of-hour is invariant under the whole-minute zone offsets real
+    zones use, so the naive-timestamp DuckDB oracle agrees in any gate
+    timezone. All referenced attrs are always present, so ignore-mode
+    condition skipping never fires and the oracle needs no error arm."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="wave7",
+        span_conditions=[
+            'Substring(SHA256(attributes["u"]), 0, 1) <= "3"'
+            ' or MD5(attributes["u"]) > "f8"'
+            ' or Minute(Time(attributes["t"], "%Y-%m-%d %H:%M:%S")) >= 45'
+            ' or Log(Trim(attributes["n"])) > 3.0'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(
+            F.lit("u"),
+            F.concat("event_type", (F.col("event_id") % 97).cast("string")),
+            F.lit("t"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("n"),
+            F.concat(F.lit("  "), (F.col("event_id") % 100 + 1).cast("string"), F.lit(" ")),
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE7 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN
+                  substr(sha256(event_type || CAST(event_id % 97 AS VARCHAR)), 1, 1) <= '3'
+               OR md5(event_type || CAST(event_id % 97 AS VARCHAR)) > 'f8'
+               OR CAST(strftime(CAST(ts AS TIMESTAMP), '%M') AS INT) >= 45
+               OR ln(CAST(trim('  ' || CAST(event_id % 100 + 1 AS VARCHAR) || ' ')
+                          AS DOUBLE)) > 3.0
+             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
 
 
 SQL_OTTL_WAVE6 = """

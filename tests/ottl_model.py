@@ -146,8 +146,12 @@ def _static_type(ast) -> str:
         return "int" if l == "int" and r == "int" else "double"
     if kind in ("time", "trunctime"):
         return "time"
-    if kind in ("hour", "unixnano"):
+    if kind in ("hour", "unixnano", "timepart", "unixdiv"):
         return "int"
+    if kind == "durfold":
+        return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
+    if kind == "logconv":
+        return "double"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
     return "string"
@@ -244,6 +248,59 @@ def eval_operand(ast, ctx, span):
         return (v % 86_400_000_000_000) // 3_600_000_000_000
     if kind == "unixnano":
         return eval_operand(ast[1], ctx, span)
+    if kind == "trim":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Trim(nil)")
+        return s.strip(ast[2])  # str.strip(chars) == strings.Trim cutset
+    if kind == "hashconv":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError(f"{ast[2]}(nil)")
+        import hashlib
+
+        return getattr(hashlib, ast[2])(s.encode()).hexdigest()
+    if kind == "durfold":
+        v = eval_operand(ast[1], ctx, span)
+        if _static_type(ast[1]) not in ("int", "double", "time"):
+            v = _to_double(v, err=True)
+        if v is None:
+            raise OttlError("Duration(nil)")  # StandardDurationGetter
+        unit = ast[2]
+        if unit in ("hours", "minutes", "seconds"):
+            div = {"hours": 3_600_000_000_000.0, "minutes": 60_000_000_000.0,
+                   "seconds": 1_000_000_000.0}[unit]
+            return v / div
+        if unit == "nanoseconds":
+            return v
+        d = {"milliseconds": 1_000_000, "microseconds": 1_000}[unit]
+        return -((-v) // d) if v < 0 else v // d  # Go: truncate toward zero
+    if kind == "timepart":
+        v = eval_operand(ast[1], ctx, span)
+        if v is None:
+            return None
+        unit = ast[2]
+        if unit == "minute":
+            return (v % 3_600_000_000_000) // 60_000_000_000
+        if unit == "second":
+            return (v % 60_000_000_000) // 1_000_000_000
+        import datetime as dt
+
+        t = dt.datetime.fromtimestamp(v // 1_000_000_000, tz=dt.timezone.utc)
+        return {"day": t.day, "month": t.month, "year": t.year}[unit]
+    if kind == "unixdiv":
+        v = eval_operand(ast[1], ctx, span)
+        return None if v is None else v // ast[2]  # floor, like Go Unix()
+    if kind == "logconv":
+        v = eval_operand(ast[1], ctx, span)
+        if v is None:
+            raise OttlError("Log(nil)")
+        x = v if _static_type(ast[1]) in ("int", "double", "time") else _to_double(v, err=True)
+        if x is None or x <= 0:
+            raise OttlError(f"Log({x!r})")  # func_log: must be > 0
+        import math
+
+        return math.log(x)
     if kind == "splitget":
         s = _render(eval_operand(ast[1], ctx, span))
         if s is None:

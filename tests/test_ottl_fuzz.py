@@ -65,6 +65,22 @@ def rnd_operand(rng: random.Random, depth: int = 0) -> str:
         return f"{rng.choice(['UnixNano', 'Hour'])}({rng.choice(TIME_OPS)})"
     if roll < 0.94:
         return f'Split({inner()}, "{rng.choice([",", "-"])}")[{rng.randint(0, 2)}]'
+    if roll < 0.955:  # wave 7: string converters
+        return rng.choice(
+            [f"Trim({inner()})", f'Trim({inner()}, "xy ")',
+             f"SHA1({inner()})", f"SHA256({inner()})", f"MD5({inner()})"]
+        )
+    if roll < 0.97:  # wave 7: duration folds (build-rejected on strings)
+        fold = rng.choice(["Hours", "Minutes", "Seconds",
+                           "Milliseconds", "Microseconds", "Nanoseconds"])
+        dur_lit = 'Duration("90s")'
+        return f"{fold}({rng.choice([inner(), dur_lit])})"
+    if roll < 0.985:  # wave 7: calendar parts / unix divisions
+        part = rng.choice(["Day", "Month", "Year", "Minute", "Second",
+                           "UnixSeconds", "UnixMilli", "UnixMicro"])
+        return f"{part}({rng.choice(TIME_OPS)})"
+    if roll < 0.993:
+        return f"Log({inner()})"
     return f'Duration("{rng.choice(["5ms", "2s", "1h30m"])}")'
 
 

@@ -897,6 +897,111 @@ def test_ottl_wave6_propagate_errors(spark, cond, spans, expected):
     assert eval_ottl_policy(spark, pol, spans) == expected
 
 
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # Trim: strings.Trim cutset semantics (func_trim); default " "
+        ('Trim(attributes["s"]) == "x"', [dict(attrs={"s": "  x  "})], D.SAMPLED),
+        ('Trim(attributes["s"], "xy") == "ab"', [dict(attrs={"s": "yxabx"})], D.SAMPLED),
+        ('Trim(attributes["s"]) == "x"', [dict(attrs={"s": "  y  "})], D.PENDING),
+        # digest converters: lowercase hex (func_sha1/sha256/md5)
+        (
+            'SHA256(attributes["k"]) == '
+            '"ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"',
+            [dict(attrs={"k": "abc"})],
+            D.SAMPLED,
+        ),
+        (
+            'SHA1(attributes["k"]) == "a9993e364706816aba3e25717850c26c9cd0d89d"'
+            ' and MD5(attributes["k"]) == "900150983cd24fb0d6963f7d28e17f72"',
+            [dict(attrs={"k": "abc"})],
+            D.SAMPLED,
+        ),
+        ("Len(SHA256(name)) == 64 and Len(SHA1(name)) == 40 and Len(MD5(name)) == 32",
+         [dict()], D.SAMPLED),
+        # duration folds: h/m/s → float64, ms/us/ns → int64
+        ('Seconds(Duration("90s")) == 90.0', [dict()], D.SAMPLED),
+        ('Minutes(Duration("90s")) == 1.5', [dict()], D.SAMPLED),
+        ('Milliseconds(Duration("1.5s")) == 1500', [dict()], D.SAMPLED),
+        ('Microseconds(Duration("250ms")) == 250000', [dict()], D.SAMPLED),
+        ('Nanoseconds(Duration("1s")) == 1000000000', [dict()], D.SAMPLED),
+        (
+            "Hours(end_time - start_time) == 1.5",
+            [dict(start_ts=_T_NS, end_ts=_T_NS + 5_400_000_000_000)],
+            D.SAMPLED,
+        ),
+        # calendar extractors (UTC, like Hour): 2024-03-05 14:47:30
+        (
+            'Day(Time(attributes["t"], "%Y-%m-%d %H:%M:%S")) == 5'
+            ' and Month(Time(attributes["t"], "%Y-%m-%d %H:%M:%S")) == 3'
+            ' and Year(Time(attributes["t"], "%Y-%m-%d %H:%M:%S")) == 2024',
+            [dict(attrs={"t": "2024-03-05 14:47:30"})],
+            D.SAMPLED,
+        ),
+        (
+            "Minute(start_time) == 47 and Second(start_time) == 30",
+            [dict(start_ts=_T_NS)],
+            D.SAMPLED,
+        ),
+        # unix divisions (floor; Go Unix/UnixMilli/UnixMicro)
+        (
+            "UnixSeconds(start_time) == 1709650050"
+            " and UnixMilli(start_time) == 1709650050000"
+            " and UnixMicro(start_time) == 1709650050000000",
+            [dict(start_ts=_T_NS)],
+            D.SAMPLED,
+        ),
+        # Log: natural log (func_log)
+        ('Log(attributes["n"]) > 2.0', [dict(attrs={"n": "10"})], D.SAMPLED),
+        ('Log(attributes["n"]) > 2.0', [dict(attrs={"n": "5"})], D.PENDING),
+        # ignore mode: Log over 0 / non-numeric / nil errors → condition
+        # skipped (condition-level ignore) → false
+        ('Log(attributes["n"]) > 0 or name == "nope"', [dict(attrs={"n": "0"})], D.PENDING),
+        ('Log(attributes["n"]) > 0', [dict(attrs={})], D.PENDING),
+        # Trim/SHA over nil in ignore mode → skipped, not matched
+        ('Trim(attributes["x"]) == "" or name == "nope"', [dict(attrs={})], D.PENDING),
+    ],
+)
+def test_ottl_wave7_golden(spark, cond, spans, expected):
+    pol = OTTLCondition(name="ottl_w7", span_conditions=[cond])
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # StandardStringGetter family: nil errors (Trim / digests)
+        ('Trim(attributes["x"]) == "a"', [dict(attrs={})], D.UNSPECIFIED),
+        ('SHA256(attributes["x"]) == "a"', [dict(attrs={})], D.UNSPECIFIED),
+        # func_log: nil, non-numeric, and <= 0 all error
+        ('Log(attributes["n"]) > 0', [dict(attrs={})], D.UNSPECIFIED),
+        ('Log(attributes["n"]) > 0', [dict(attrs={"n": "0"})], D.UNSPECIFIED),
+        ('Log(attributes["n"]) > 0', [dict(attrs={"n": "abc"})], D.UNSPECIFIED),
+        ('Log(attributes["n"]) > 0', [dict(attrs={"n": "7"})], D.SAMPLED),
+        # DurationGetter: a runtime-nil duration (via Int cast) errors
+        ('Seconds(Int(attributes["x"])) == 1', [dict(attrs={})], D.UNSPECIFIED),
+        # ...but a present value flows through
+        ('Seconds(Int(attributes["x"])) == 2.0', [dict(attrs={"x": "2000000000"})], D.SAMPLED),
+    ],
+)
+def test_ottl_wave7_propagate_errors(spark, cond, spans, expected):
+    pol = OTTLCondition(name="w7err", span_conditions=[cond], error_mode="propagate")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+def test_ottl_wave7_build_errors():
+    with pytest.raises(PolicyError, match="duration"):
+        OTTLCondition(name="o", span_conditions=["Seconds(name) == 1"])
+    with pytest.raises(PolicyError, match="time value"):
+        OTTLCondition(name="o", span_conditions=["Day(name) == 1"])
+    with pytest.raises(PolicyError, match="time value"):
+        OTTLCondition(name="o", span_conditions=["UnixMilli(name) == 1"])
+    with pytest.raises(PolicyError, match="cutset"):
+        OTTLCondition(name="o", span_conditions=['Trim(name, "") == "a"'])
+    with pytest.raises(PolicyError, match="unknown converter"):
+        OTTLCondition(name="o", span_conditions=["Weekday(start_time) == 1"])
+
+
 def test_ottl_wave6_build_errors():
     with pytest.raises(PolicyError, match="unsupported"):
         OTTLCondition(name="o", span_conditions=['Time(name, "%Q") != nil'])
