@@ -77,6 +77,28 @@ def fnv_hash_column(salt: str) -> Column:
     return _fnv(F.col("trace_hi"), F.col("trace_lo"))
 
 
+def fnv1a64_string_column(c: Column) -> Column:
+    """String column → signed-int64 FNV-1a64 over its UTF-8 bytes (the
+    OTTL ``FNV`` converter, ottlfuncs func_fnv: ``int64(h.Sum64())``).
+
+    Arrow-batched; the per-row byte loop is Python (variable-length
+    input, unlike the fixed 16-byte trace-id fast path above) — fine for
+    policy evaluation columns, keep off per-token hot paths. NULL in →
+    NULL out (the converter's error_column flags it separately)."""
+
+    @pandas_udf("long")
+    def _fnv_str(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h = fnv1a64(v.encode("utf-8"))
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        return s.map(one).astype("Int64")
+
+    return _fnv_str(c)
+
+
 def unsigned_lte(signed_col: Column, unsigned_threshold: int) -> Column:
     """uint64(signed_col) <= unsigned_threshold, evaluated JVM-side.
 

@@ -41,7 +41,21 @@ plus the forms real configs hit immediately beyond them:
   calendar extractors ``Day``/``Month``/``Year``/``Minute``/``Second``
   (UTC, like ``Hour``), ``UnixSeconds``/``UnixMilli``/``UnixMicro``, and
   ``Log(value)`` (natural log; value ≤ 0, nil, or non-numeric is an
-  eval error, per ottlfuncs func_log). IsMatch
+  eval error, per ottlfuncs func_log); wave 8 (round 5):
+  ``Format("%s-%d", [a, b])`` (Sprintf %s/%d subset with static
+  verb/arg type checking; nil renders Go's ``%!s(<nil>)``),
+  ``Hex(value)`` (lowercase hex of UTF-8 bytes for strings / 8
+  big-endian bytes for int64s, func_hex), ``Decode(value, "base64")``
+  (strict padded std base64; malformed or nil is an eval error),
+  ``ParseKeyValue(target, "=", " ")["key"]`` (pair/kv-delimited string
+  → map, space-trimmed keys/values, last duplicate wins, a non-empty
+  pair without the kv delimiter errors; contrib's quoted-value
+  unwrapping is not implemented), ``ExtractPatterns(target,
+  "(?P<name>...)")["name"]`` (named-group regex → map; both Go
+  ``(?P<`` and Java ``(?<`` spellings accepted, RE2-guarded; a
+  matching-but-empty group renders ``""`` where contrib omits the key),
+  and ``FNV(target)`` (FNV-1a64 of the UTF-8 bytes as int64, via
+  hashing.py's Arrow-vectorized kernel). IsMatch
   and grouper patterns are build-time rejected when they use Java-regex
   constructs RE2 cannot compile (lookarounds, backreferences, atomic
   groups, possessive quantifiers) — fail-to-start parity with the
@@ -474,6 +488,152 @@ class _Parser:
                 target = self.parse_operand()
                 self._expect("rparen")
                 return ("logconv", target)
+            if v == "Format":  # ottlfuncs func_format: fmt.Sprintf over
+                # getter-valued args. Verb subset: %s (string-typed args)
+                # and %d (int-typed args), checked statically at build —
+                # Go's %!s(int64=42) mis-verb renders are a config bug the
+                # reference would emit silently; this engine fails to
+                # start instead. A nil arg renders Go's %!s(<nil>) /
+                # %!d(<nil>) (Sprintf never errors).
+                self._expect("lparen")
+                fmt = _unquote(self._expect("string"))
+                args = []
+                if self._peek()[0] == "comma":
+                    self._next()
+                    self._expect("lbracket")
+                    args.append(self.parse_operand())
+                    while self._peek()[0] == "comma":
+                        self._next()
+                        args.append(self.parse_operand())
+                    self._expect("rbracket")
+                self._expect("rparen")
+                segs, verbs = _parse_format(fmt, self.src)
+                if len(verbs) != len(args):
+                    raise PolicyError(
+                        f"OTTL: Format({fmt!r}) has {len(verbs)} verbs but "
+                        f"{len(args)} args in {self.src!r}"
+                    )
+                for a, verb in zip(args, verbs):
+                    st = _static_type(a)
+                    want = "string" if verb == "s" else "int"
+                    if st != want:
+                        raise PolicyError(
+                            f"OTTL: Format %{verb} arg must be {want}-valued, "
+                            f"got {st} in {self.src!r}"
+                        )
+                return ("format", segs, verbs, args)
+            if v == "Hex":  # ottlfuncs func_hex: lowercase hex of the
+                # value's bytes (ByteSliceLikeGetter: string → UTF-8
+                # bytes, int64 → 8 big-endian two's-complement bytes)
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                st = _static_type(target)
+                if st not in ("string", "int"):
+                    raise PolicyError(
+                        f"OTTL: Hex target must be string- or int-valued, "
+                        f"got {st} in {self.src!r}"
+                    )
+                return ("hexenc", target, st)
+            if v == "Decode":  # ottlfuncs func_decode: base64 (std,
+                # padded) → string. Invalid input or nil is an eval
+                # error, like Go base64.StdEncoding.DecodeString.
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("comma")
+                enc = _unquote(self._expect("string")).lower()
+                self._expect("rparen")
+                if enc != "base64":
+                    raise PolicyError(
+                        f"OTTL: Decode encoding {enc!r} unsupported "
+                        f"(base64) in {self.src!r}"
+                    )
+                return ("decode64", target)
+            if v == "ParseKeyValue":  # ottlfuncs func_parse_key_value:
+                # string → map via pair/kv delimiters (defaults " ", "=");
+                # indexed with ["key"] like ParseJSON. Simplification vs
+                # contrib: no quoted-value unwrapping. A non-empty pair
+                # without the kv delimiter is an eval error ("cannot
+                # split"); keys/values are space-trimmed; duplicate keys
+                # keep the LAST value (map upsert order).
+                self._expect("lparen")
+                target = self.parse_operand()
+                delim, pair_delim = "=", " "
+                if self._peek()[0] == "comma":
+                    self._next()
+                    delim = _unquote(self._expect("string"))
+                if self._peek()[0] == "comma":
+                    self._next()
+                    pair_delim = _unquote(self._expect("string"))
+                self._expect("rparen")
+                if not delim or not pair_delim or delim == pair_delim:
+                    raise PolicyError(
+                        f"OTTL: ParseKeyValue delimiters must be non-empty "
+                        f"and distinct in {self.src!r}"
+                    )
+                if self._peek()[0] != "lbracket":
+                    raise PolicyError(
+                        f"OTTL: ParseKeyValue(...) must be indexed with "
+                        f'["key"] in {self.src!r}'
+                    )
+                self._next()
+                key = _unquote(self._expect("string"))
+                self._expect("rbracket")
+                return ("kvget", target, delim, pair_delim, key)
+            if v == "ExtractPatterns":  # ottlfuncs func_extract_patterns:
+                # regex with named capture groups → map; indexed with
+                # ["name"]. Accepts Go's (?P<name>...) and Java's
+                # (?<name>...); compiled for Spark as Java syntax after
+                # the RE2 dialect guard. No overall match → nil;
+                # divergence vs contrib: a matching-but-empty group
+                # renders "" where contrib omits it from the map (Spark's
+                # regexp_extract cannot distinguish participation).
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("comma")
+                pattern = _unquote(self._expect("string"))
+                self._expect("rparen")
+                ensure_re2_compatible(pattern, "ExtractPatterns")
+                # the RE2 guard already rejected lookbehinds, so any
+                # remaining "(?<" is a Java-style named group
+                py_pat = pattern.replace("(?<", "(?P<")
+                try:
+                    compiled = re.compile(py_pat)
+                except re.error as exc:
+                    raise PolicyError(
+                        f"OTTL: ExtractPatterns pattern {pattern!r} is not "
+                        f"a valid regex: {exc}"
+                    ) from exc
+                if not compiled.groupindex:
+                    raise PolicyError(
+                        f"OTTL: ExtractPatterns pattern {pattern!r} has no "
+                        f"named capture groups in {self.src!r}"
+                    )
+                if self._peek()[0] != "lbracket":
+                    raise PolicyError(
+                        f"OTTL: ExtractPatterns(...) must be indexed with "
+                        f'["name"] in {self.src!r}'
+                    )
+                self._next()
+                gname = _unquote(self._expect("string"))
+                self._expect("rbracket")
+                if gname not in compiled.groupindex:
+                    raise PolicyError(
+                        f"OTTL: ExtractPatterns group {gname!r} not in "
+                        f"pattern {pattern!r} (groups: "
+                        f"{sorted(compiled.groupindex)}) in {self.src!r}"
+                    )
+                java_pat = py_pat.replace("(?P<", "(?<")
+                return ("extractpat", target, py_pat, java_pat,
+                        compiled.groupindex[gname])
+            if v == "FNV":  # ottlfuncs func_fnv: FNV-1a 64 over the
+                # string's UTF-8 bytes, reinterpreted int64 (Go
+                # int64(h.Sum64())); reuses hashing.py's Arrow-vectorized
+                # FNV. Nil target is an eval error.
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("fnv", target)
             if v.endswith("attributes"):  # attributes / resource.attributes
                 self._expect("lbracket")
                 key = _unquote(self._expect("string"))
@@ -487,7 +647,8 @@ class _Parser:
                     "Time, TruncateTime, Hour/Day/Month/Year/Minute/Second, "
                     "UnixNano/UnixMicro/UnixMilli/UnixSeconds, Split, Trim, "
                     "SHA1/SHA256/MD5, Hours/Minutes/Seconds/Milliseconds/"
-                    "Microseconds/Nanoseconds, Log)"
+                    "Microseconds/Nanoseconds, Log, Format, Hex, Decode, "
+                    "ParseKeyValue, ExtractPatterns, FNV)"
                 )
             return ("path", [v])
         raise PolicyError(f"OTTL: unexpected token {v!r} in {self.src!r}")
@@ -495,6 +656,37 @@ class _Parser:
 
 def _unquote(s: str) -> str:
     return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+def _parse_format(fmt: str, src: str) -> tuple[list[str], list[str]]:
+    """Sprintf format → (literal segments, verbs). Supported verbs: %s,
+    %d, and the %% escape; anything else is a build-time PolicyError
+    (fail-to-start, where Go would emit %!x(...) noise silently).
+    len(segments) == len(verbs) + 1: seg0 %v0 seg1 %v1 ... segN."""
+    segs, verbs, lit = [], [], []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise PolicyError(f"OTTL: dangling % in Format {fmt!r} in {src!r}")
+            d = fmt[i + 1]
+            if d == "%":
+                lit.append("%")
+            elif d in ("s", "d"):
+                segs.append("".join(lit))
+                lit.clear()
+                verbs.append(d)
+            else:
+                raise PolicyError(
+                    f"OTTL: Format verb %{d} unsupported (%s, %d) in {src!r}"
+                )
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    segs.append("".join(lit))
+    return segs, verbs
 
 
 # Java-regex constructs that are INVALID in RE2 (Go's regexp, what the
@@ -754,9 +946,62 @@ def _operand_column(ast, ctx: str) -> Column:
     if kind == "logconv":
         x = _numeric_operand(ast[1], ctx)
         return F.when(x > 0, F.log(x))  # <= 0 → NULL (an error, see error_column)
+    if kind == "format":
+        segs, verbs, args = ast[1], ast[2], ast[3]
+        parts: list[Column] = [F.lit(segs[0])]
+        for seg, verb, a in zip(segs[1:], verbs, args):
+            c = _operand_column(a, ctx).cast("string")
+            parts.append(F.coalesce(c, F.lit(f"%!{verb}(<nil>)")))
+            parts.append(F.lit(seg))
+        return F.concat(*parts)
+    if kind == "hexenc":
+        c = _operand_column(ast[1], ctx)
+        if ast[2] == "int":
+            # 8 big-endian two's-complement bytes → 16 lowercase hex;
+            # Spark hex(long) drops leading zero nibbles, lpad restores
+            return F.lower(F.lpad(F.hex(c.cast("long")), 16, "0"))
+        return F.lower(F.hex(c.cast("string")))  # UTF-8 bytes
+    if kind == "decode64":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        # gate unbase64 behind a strict-padding validity check (ANSI mode
+        # would throw on malformed input); invalid → NULL → an eval error
+        return F.when(tgt.rlike(_B64_RE), F.unbase64(tgt).cast("string"))
+    if kind == "kvget":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        d, pd_, key = ast[2], ast[3], ast[4]
+        pairs = F.filter(
+            F.split(tgt, re.escape(pd_), -1), lambda p: F.trim(p) != F.lit("")
+        )
+        matches = F.filter(
+            pairs,
+            lambda p: p.contains(d)
+            & (F.trim(F.substring_index(p, d, 1)) == F.lit(key)),
+        )
+        vals = F.transform(
+            matches,
+            lambda p: F.trim(p.substr(F.locate(d, p) + F.lit(len(d)), F.length(p))),
+        )
+        # duplicate keys keep the LAST value (map upsert); empty → NULL
+        return F.try_element_at(vals, F.lit(-1))
+    if kind == "extractpat":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        # no overall match → nil (contrib returns an empty map); guard
+        # because regexp_extract renders no-match as "" ambiguously
+        return F.when(tgt.rlike(ast[3]), F.regexp_extract(tgt, ast[3], ast[4]))
+    if kind == "fnv":
+        from ..hashing import fnv1a64_string_column
+
+        return fnv1a64_string_column(_operand_column(ast[1], ctx).cast("string"))
     if kind in ("ismatch", "isroot", "istype"):
         return to_column(ast, ctx)
     raise PolicyError(f"OTTL: invalid operand {ast!r}")
+
+
+# Go base64.StdEncoding.DecodeString accepts only canonical padded input:
+# whole groups of 4, a final group padded to 4 with = / ==
+_B64_RE = (
+    r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+)
 
 
 def _floordiv(c: Column, d: int) -> Column:
@@ -802,6 +1047,8 @@ def _ast_is_numeric(ast) -> bool:
         return True  # int64 unix nanos / hour-of-day
     if kind in ("durfold", "timepart", "unixdiv", "logconv"):
         return True  # duration folds / calendar parts / unix divs / ln
+    if kind == "fnv":
+        return True  # int64 hash
     return False  # substr/case/concat/trim/hashconv/ismatch/string paths
 
 
@@ -848,9 +1095,13 @@ def _static_type(ast) -> str:
         return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
     if kind == "logconv":
         return "double"
+    if kind == "fnv":
+        return "int"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
-    return "string"  # substr/case/concat/trim/hashconv/jsonget/splitget
+    # substr/case/concat/trim/hashconv/jsonget/splitget/format/hexenc/
+    # decode64/kvget/extractpat
+    return "string"
 
 
 def _is_numeric_lit(ast) -> bool:
@@ -936,8 +1187,12 @@ def validate_paths(ast, ctx: str) -> None:
         validate_paths(ast[1], ctx)
     elif kind in ("ismatch", "len", "substr", "case", "time", "trunctime",
                   "hour", "unixnano", "splitget", "trim", "hashconv",
-                  "durfold", "timepart", "unixdiv", "logconv"):
+                  "durfold", "timepart", "unixdiv", "logconv", "hexenc",
+                  "decode64", "kvget", "extractpat", "fnv"):
         validate_paths(ast[1], ctx)
+    elif kind == "format":
+        for t in ast[3]:
+            validate_paths(t, ctx)
     elif kind in ("cast", "istype"):
         if kind == "istype" and ast[1] != "string" and ast[2][0] == "jsonget":
             # the reference's ParseJSON yields TYPED pcommon values (JSON
@@ -1050,6 +1305,34 @@ def error_column(ast, ctx: str) -> Column:
         # out-of-range index is nil, not an error
         tgt = _operand_column(ast[1], ctx)
         return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "format":
+        # func_format: Sprintf never errors (nil renders %!v(<nil>));
+        # only the arg getters' own errors surface
+        out = f
+        for t in ast[3]:
+            out = out | error_column(t, ctx)
+        return out
+    if kind in ("hexenc", "fnv", "extractpat"):
+        # ByteSliceLikeGetter / StringLikeGetter / StandardStringGetter:
+        # Get on a nil value errors; a non-matching ExtractPatterns is an
+        # empty map (nil value), NOT an error
+        tgt = _operand_column(ast[1], ctx)
+        return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "decode64":
+        # func_decode: nil errors + base64.StdEncoding.DecodeString
+        # failure on a present malformed value
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        bad = tgt.isNotNull() & ~tgt.rlike(_B64_RE)
+        return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(bad, f)
+    if kind == "kvget":
+        # func_parse_key_value: nil errors + "cannot split" on any
+        # non-empty pair lacking the kv delimiter
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        pairs = F.filter(
+            F.split(tgt, re.escape(ast[3]), -1), lambda p: F.trim(p) != F.lit("")
+        )
+        bad = F.exists(pairs, lambda p: ~p.contains(ast[2]))
+        return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(bad, f)
     if kind == "concat":
         # func_concat explicitly SKIPS nil parts (concat_ws semantics) —
         # absent values are not errors here

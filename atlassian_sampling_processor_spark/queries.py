@@ -521,6 +521,7 @@ def sampling_queries() -> dict[str, tuple]:
         "ottl_wave5_policy": (q_ottl_wave5_policy, SQL_OTTL_WAVE5),
         "ottl_wave6_policy": (q_ottl_wave6_policy, SQL_OTTL_WAVE6),
         "ottl_wave7_policy": (q_ottl_wave7_policy, SQL_OTTL_WAVE7),
+        "ottl_wave8_policy": (q_ottl_wave8_policy, SQL_OTTL_WAVE8),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -1053,6 +1054,63 @@ SQL_OTTL_WAVE7 = """
                OR CAST(strftime(CAST(ts AS TIMESTAMP), '%M') AS INT) >= 45
                OR ln(CAST(trim('  ' || CAST(event_id % 100 + 1 AS VARCHAR) || ' ')
                           AS DOUBLE)) > 3.0
+             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
+
+
+def q_ottl_wave8_policy(spark, sf_dir):
+    """ottl_condition, wave-8 grammar (round 5): ``Hex``, ``Decode``
+    (base64 round trip), ``ParseKeyValue(...)["k"]``,
+    ``ExtractPatterns(...)["name"]`` and ``Format`` — compiled through
+    the real OTTLCondition builder. The oracle is fully INDEPENDENT
+    (plain arithmetic over the source columns, no mirroring of the
+    converter chain): each converter's input is constructed so its
+    output has a closed arithmetic form — e.g. the second hex nibble of
+    a digit character '0'..'9' (0x30..0x39) IS the digit — so any
+    engine-side converter breakage shows as a decision mismatch."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="wave8",
+        span_conditions=[
+            'Substring(Hex(attributes["u"]), 1, 1) >= "7"'
+            ' or Decode(attributes["b"], "base64") == "purchase"'
+            ' or Int(ParseKeyValue(attributes["kv"])["n"]) >= 11'
+            ' or Int(ExtractPatterns(attributes["s"], "(?P<d>[0-9]+)")["d"]) >= 25'
+            ' or Format("%s:%s", [attributes["e"], attributes["u"]]) == "error:3"'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(
+            F.lit("u"), (F.col("event_id") % 10).cast("string"),
+            F.lit("b"), F.base64(F.col("event_type").cast("binary")),
+            F.lit("kv"),
+            F.concat(F.lit("a=1 n="), (F.col("event_id") % 13).cast("string")),
+            F.lit("s"),
+            F.concat(F.lit("id-"), (F.col("event_id") % 29).cast("string"), F.lit("x")),
+            F.lit("e"), F.col("event_type"),
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE8 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN (event_id % 10) >= 7
+               OR event_type = 'purchase'
+               OR (event_id % 13) >= 11
+               OR (event_id % 29) >= 25
+               OR (event_type = 'error' AND (event_id % 10) = 3)
              THEN 1 ELSE 0 END) = 1
               THEN 'Sampled' ELSE 'Pending' END AS decision
   FROM events GROUP BY user_id

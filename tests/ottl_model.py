@@ -152,6 +152,8 @@ def _static_type(ast) -> str:
         return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
     if kind == "logconv":
         return "double"
+    if kind == "fnv":
+        return "int"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
     return "string"
@@ -307,6 +309,67 @@ def eval_operand(ast, ctx, span):
             raise OttlError("Split(nil)")
         parts = s.split(ast[2])
         return parts[ast[3]] if 0 <= ast[3] < len(parts) else None
+    if kind == "format":
+        segs, verbs, args = ast[1], ast[2], ast[3]
+        out = [segs[0]]
+        for seg, verb, a in zip(segs[1:], verbs, args):
+            s = _render(eval_operand(a, ctx, span))
+            out.append(f"%!{verb}(<nil>)" if s is None else s)
+            out.append(seg)
+        return "".join(out)
+    if kind == "hexenc":
+        v = eval_operand(ast[1], ctx, span)
+        if v is None:
+            raise OttlError("Hex(nil)")
+        if ast[2] == "int":
+            import struct
+
+            return struct.pack(">q", int(v)).hex()
+        return _render(v).encode("utf-8").hex()
+    if kind == "decode64":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Decode(nil)")
+        if not re.fullmatch(
+            r"(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?", s
+        ):
+            raise OttlError(f"Decode({s!r})")
+        import base64
+
+        # Spark's binary→string cast substitutes U+FFFD for invalid UTF-8
+        return base64.b64decode(s).decode("utf-8", errors="replace")
+    if kind == "kvget":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("ParseKeyValue(nil)")
+        d, pdl, key = ast[2], ast[3], ast[4]
+        val = None
+        for p in s.split(pdl):
+            if p.strip(" ") == "":
+                continue
+            if d not in p:
+                raise OttlError(f"ParseKeyValue cannot split {p!r}")
+            k, v2 = p.split(d, 1)
+            if k.strip(" ") == key:
+                val = v2.strip(" ")  # last duplicate wins
+        return val
+    if kind == "extractpat":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("ExtractPatterns(nil)")
+        m = re.search(ast[2], s)
+        if not m:
+            return None
+        g = m.group(ast[4])
+        return g if g is not None else ""  # engine renders non-participation ""
+    if kind == "fnv":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("FNV(nil)")
+        h = 14695981039346656037  # independent FNV-1a64 (not the engine's)
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
+        return h - (1 << 64) if h >= (1 << 63) else h
     if kind in ("ismatch", "isroot", "istype"):
         return eval_bool(ast, ctx, span)
     raise OttlError(f"model: invalid operand {ast!r}")

@@ -79,8 +79,19 @@ def rnd_operand(rng: random.Random, depth: int = 0) -> str:
         part = rng.choice(["Day", "Month", "Year", "Minute", "Second",
                            "UnixSeconds", "UnixMilli", "UnixMicro"])
         return f"{part}({rng.choice(TIME_OPS)})"
-    if roll < 0.993:
+    if roll < 0.99:
         return f"Log({inner()})"
+    if roll < 0.996:  # wave 8 string/bytes converters
+        return rng.choice(
+            [
+                f"Hex({inner()})",
+                f"FNV({inner()})",
+                f'Decode({inner()}, "base64")',
+                f'Format("w8=%s", [{inner()}])',
+                f'ParseKeyValue({inner()})["k1"]',
+                f'ExtractPatterns({inner()}, "(?P<d>[0-9]+)")["d"]',
+            ]
+        )
     return f'Duration("{rng.choice(["5ms", "2s", "1h30m"])}")'
 
 
@@ -108,6 +119,9 @@ ADVERSARIAL_SPANS = [
     dict(attrs={"k1": '{"a": 1}', "num": "1e3", "t": "2024-03-05 00:00:01"},
          event_name="exception", event_attrs={"k1": "y"}),
     dict(attrs={"k1": "{broken json", "num": "-0"}, is_root=True),
+    # wave 8 success paths: valid base64 / kv-pair shapes under the keys
+    # the generator targets
+    dict(attrs={"k1": "YWJj", "num": "k1=7 k2=9", "t": "a:1,b:2"}),
 ]
 
 
@@ -186,6 +200,55 @@ def test_ottl_fuzz_differential_model(spark, seed):
     assert len(out) == 1
     got = list(out[0].policy_decisions)
     for i, cond in enumerate(conds):
+        asts = policies[2 * i]._span_asts
+        for j, mode in enumerate(("ignore", "propagate")):
+            expected = ottl_model.decide(asts, [], spans, mode)
+            assert got[2 * i + j] == expected, (
+                f"mode={mode} cond={cond!r}: engine={got[2 * i + j]} model={expected}"
+            )
+
+
+WAVE8_CONDS = [
+    'Hex(attributes["k1"]) == "59574a6a"',
+    'Hex(Int(attributes["num"])) != nil',
+    'FNV(attributes["k1"]) > 0',
+    'FNV(Concat([name, attributes["missing"]], "-")) < 0',
+    'Decode(attributes["k1"], "base64") == "abc"',
+    'Decode(attributes["t"], "base64") != nil',
+    'Format("%s/%d", [attributes["k1"], status.code]) != nil',
+    'Format("%s", [attributes["missing"]]) == "%!s(<nil>)"',
+    'ParseKeyValue(attributes["num"])["k1"] == "7"',
+    'ParseKeyValue(attributes["t"], ":", ",")["b"] == "2"',
+    'ParseKeyValue(attributes["k1"])["x"] != nil',
+    'ExtractPatterns(attributes["num"], "(?P<d>[0-9]+)")["d"] == "42"',
+    'ExtractPatterns(attributes["missing"], "(?P<d>.)")["d"] == "x"',
+    'ExtractPatterns(name, "(?<w>[a-z]+)")["w"] != nil',
+]
+
+
+def test_ottl_wave8_differential_model(spark):
+    """Every wave-8 converter through the engine AND the independent
+    model on every adversarial row, both error modes — the focused
+    complement to the low-probability fuzz band."""
+    from . import ottl_model
+    from atlassian_sampling_processor_spark.aggregate import aggregate_batch, merge_with_pending
+    from atlassian_sampling_processor_spark.decider import make_decision
+
+    policies = [
+        OTTLCondition(name=f"w8d{i}_{mode}", span_conditions=[cond], error_mode=mode)
+        for i, cond in enumerate(WAVE8_CONDS)
+        for mode in ("ignore", "propagate")
+    ]
+    spans = [
+        span_row(span_id=i + 1, start_ts=i * 100, **s)
+        for i, s in enumerate(ADVERSARIAL_SPANS)
+    ]
+    df = spark.createDataFrame(spans, schema=SPAN_SCHEMA)
+    merged = merge_with_pending(aggregate_batch(df, policies), None)
+    out = make_decision(merged, policies).collect()
+    assert len(out) == 1
+    got = list(out[0].policy_decisions)
+    for i, cond in enumerate(WAVE8_CONDS):
         asts = policies[2 * i]._span_asts
         for j, mode in enumerate(("ignore", "propagate")):
             expected = ottl_model.decide(asts, [], spans, mode)

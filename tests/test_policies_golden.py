@@ -1095,3 +1095,117 @@ def test_ottl_istype_over_parsejson_build_error():
         OTTLCondition(name="o", span_conditions=['IsDouble(ParseJSON(attributes["p"])["n"])'])
     # IsString over JSON values stays supported
     OTTLCondition(name="o2", span_conditions=['IsString(ParseJSON(attributes["p"])["n"])'])
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # Format: Sprintf %s/%d subset (func_format); nil renders Go's
+        # %!s(<nil>) — Sprintf itself never errors
+        (
+            'Format("%s-%d", [attributes["k"], status.code]) == "x-1"',
+            [dict(attrs={"k": "x"}, status_id=1)],
+            D.SAMPLED,
+        ),
+        (
+            'Format("v=%s", [attributes["missing"]]) == "v=%!s(<nil>)"',
+            [dict(attrs={})],
+            D.SAMPLED,
+        ),
+        ('Format("100%%-%s", [name]) == "100%-op"', [dict(name="op")], D.SAMPLED),
+        # Hex: lowercase hex of UTF-8 bytes (string) / 8 big-endian
+        # two's-complement bytes (int64), func_hex
+        ('Hex(attributes["k"]) == "616263"', [dict(attrs={"k": "abc"})], D.SAMPLED),
+        ('Hex(status.code) == "0000000000000001"', [dict(status_id=1)], D.SAMPLED),
+        ('Hex(Int(attributes["n"])) == "fffffffffffffffb"',
+         [dict(attrs={"n": "-5"})], D.SAMPLED),
+        # Decode base64 (strict padded std alphabet)
+        ('Decode(attributes["b"], "base64") == "abc"',
+         [dict(attrs={"b": "YWJj"})], D.SAMPLED),
+        ('Decode(attributes["b"], "base64") == "ab"',
+         [dict(attrs={"b": "YWI="})], D.SAMPLED),
+        # ParseKeyValue: defaults "=" / " "; trimmed; last duplicate wins
+        ('ParseKeyValue(attributes["kv"])["k2"] == "v2"',
+         [dict(attrs={"kv": "k1=v1 k2=v2"})], D.SAMPLED),
+        ('ParseKeyValue(attributes["kv"], ":", ",")["b"] == "2"',
+         [dict(attrs={"kv": "a:1,b:2"})], D.SAMPLED),
+        ('ParseKeyValue(attributes["kv"])["a"] == "2"',
+         [dict(attrs={"kv": "a=1 a=2"})], D.SAMPLED),
+        # absent key → nil → comparison false
+        ('ParseKeyValue(attributes["kv"])["zz"] == "v"',
+         [dict(attrs={"kv": "a=1"})], D.PENDING),
+        # ExtractPatterns: named groups, both Go and Java spellings
+        ('ExtractPatterns(attributes["s"], "(?P<num>[0-9]+)")["num"] == "42"',
+         [dict(attrs={"s": "abc42x"})], D.SAMPLED),
+        ('ExtractPatterns(attributes["s"], "(?<num>[0-9]+)")["num"] == "42"',
+         [dict(attrs={"s": "abc42x"})], D.SAMPLED),
+        # no overall match → empty map → nil
+        ('ExtractPatterns(attributes["s"], "(?P<num>[0-9]+)")["num"] == "42"',
+         [dict(attrs={"s": "nodigits"})], D.PENDING),
+        # FNV-1a64 of UTF-8 bytes as int64 (func_fnv)
+        ('FNV(attributes["k"]) == -1792535898324117685',
+         [dict(attrs={"k": "abc"})], D.SAMPLED),
+        # ignore mode: erroring wave-8 converters skip the condition
+        ('Decode(attributes["b"], "base64") == "x" or name == "nope"',
+         [dict(attrs={"b": "%%bad%%"})], D.PENDING),
+        ('ParseKeyValue(attributes["kv"])["a"] == "1" or name == "nope"',
+         [dict(attrs={"kv": "a=1 borked"})], D.PENDING),
+    ],
+)
+def test_ottl_wave8_golden(spark, cond, spans, expected):
+    pol = OTTLCondition(name="ottl_w8", span_conditions=[cond])
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # nil targets error (ByteSlice/StringLike/StandardString getters)
+        ('Hex(attributes["x"]) == "a"', [dict(attrs={})], D.UNSPECIFIED),
+        ('FNV(attributes["x"]) > 0', [dict(attrs={})], D.UNSPECIFIED),
+        ('Decode(attributes["x"], "base64") == "a"', [dict(attrs={})], D.UNSPECIFIED),
+        ('ParseKeyValue(attributes["x"])["k"] == "v"', [dict(attrs={})], D.UNSPECIFIED),
+        ('ExtractPatterns(attributes["x"], "(?P<g>a)")["g"] == "a"',
+         [dict(attrs={})], D.UNSPECIFIED),
+        # malformed base64 / unsplittable pair error on PRESENT values
+        ('Decode(attributes["b"], "base64") == "a"',
+         [dict(attrs={"b": "YWJ"})], D.UNSPECIFIED),
+        ('ParseKeyValue(attributes["kv"])["a"] == "1"',
+         [dict(attrs={"kv": "a=1 junk"})], D.UNSPECIFIED),
+        # Format never errors on nil args; ExtractPatterns no-match is
+        # nil, not an error
+        ('Format("%s", [attributes["x"]]) == "%!s(<nil>)"',
+         [dict(attrs={})], D.SAMPLED),
+        ('ExtractPatterns(name, "(?P<g>zz)")["g"] == "zz"', [dict()], D.PENDING),
+    ],
+)
+def test_ottl_wave8_propagate_errors(spark, cond, spans, expected):
+    pol = OTTLCondition(name="w8err", span_conditions=[cond], error_mode="propagate")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+def test_ottl_wave8_build_errors():
+    with pytest.raises(PolicyError, match="verbs but"):
+        OTTLCondition(name="o", span_conditions=['Format("%s-%s", [name]) == "a"'])
+    with pytest.raises(PolicyError, match="must be int-valued"):
+        OTTLCondition(name="o", span_conditions=['Format("%d", [name]) == "1"'])
+    with pytest.raises(PolicyError, match="must be string-valued"):
+        OTTLCondition(name="o", span_conditions=['Format("%s", [status.code]) == "1"'])
+    with pytest.raises(PolicyError, match="verb %f unsupported"):
+        OTTLCondition(name="o", span_conditions=['Format("%f", [name]) == "1"'])
+    with pytest.raises(PolicyError, match="Hex target"):
+        OTTLCondition(name="o", span_conditions=['Hex(Double(name)) == "a"'])
+    with pytest.raises(PolicyError, match="Decode encoding"):
+        OTTLCondition(name="o", span_conditions=['Decode(name, "hex") == "a"'])
+    with pytest.raises(PolicyError, match="distinct"):
+        OTTLCondition(name="o", span_conditions=['ParseKeyValue(name, "=", "=")["k"] == "v"'])
+    with pytest.raises(PolicyError, match="must be indexed"):
+        OTTLCondition(name="o", span_conditions=['ParseKeyValue(name) == "v"'])
+    with pytest.raises(PolicyError, match="no named capture"):
+        OTTLCondition(name="o", span_conditions=['ExtractPatterns(name, "([0-9]+)")["g"] == "1"'])
+    with pytest.raises(PolicyError, match="not in"):
+        OTTLCondition(name="o", span_conditions=['ExtractPatterns(name, "(?P<a>x)")["b"] == "1"'])
+    with pytest.raises(PolicyError, match="RE2"):
+        OTTLCondition(
+            name="o", span_conditions=['ExtractPatterns(name, "(?P<a>x(?=y))")["a"] == "1"']
+        )
