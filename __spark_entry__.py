@@ -32,11 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all() -> dict[str, tuple]:
     from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
     from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
+    from atlassian_sampling_processor_spark.functions.dataops3 import dataops3_queries
     from atlassian_sampling_processor_spark.queries import sampling_queries
 
     out = dict(sampling_queries())
     out.update(dataops_queries())
     out.update(dataops2_queries())
+    out.update(dataops3_queries())
     return out
 
 

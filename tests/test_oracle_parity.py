@@ -80,18 +80,12 @@ def compare(spark, name, builder, sql):
 
 
 def _all_queries():
-    from atlassian_sampling_processor_spark.queries import sampling_queries
+    # the driver contract module aggregates every registered query —
+    # importing it here keeps this rehearsal from drifting when a new
+    # dataops module is added
+    import __spark_entry__
 
-    q = dict(sampling_queries())
-    try:
-        from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
-        from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
-
-        q.update(dataops_queries())
-        q.update(dataops2_queries())
-    except ImportError:
-        pass
-    return q
+    return __spark_entry__._all()
 
 
 @pytest.mark.parametrize("name", sorted(_all_queries().keys()))

@@ -65,6 +65,9 @@ def main():
     ALLOWED_CROSS = {
         "similarity_cosine_topk",  # bounded: 10 query vectors × corpus (the ANN oracle)
         "similarity_ivf_topk",  # bounded: 10 query vectors × 4 constant centroids
+        "tfidf_top_terms",  # bounded: ONE-row broadcast scalar (corpus count N)
+        # joined to every (doc,term) row — the constant join key folds to
+        # a 1-row BroadcastNestedLoopJoin, cost identical to a literal
     }
     audit = ["\n## cartesian audit (all driver queries)\n\n"]
     bad = []
