@@ -1,17 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode/feature-extract step is STUBBED (no image/audio libraries in
-this container): `decode_stub` raises NotImplementedError unless
+Two REAL decoders ship (round 5) using only the stdlib + numpy:
+``audio/wav`` (RIFF PCM via the ``wave`` module — sample rate, channels,
+duration, RMS, peak, zero-crossing rate) and ``image/bmp`` (uncompressed
+24-bit BI_RGB via numpy header parsing — dimensions + per-channel
+means + gray stats). Formats that need external codecs (JPEG, MP3, …)
+remain honestly stubbed: `decode_stub` raises NotImplementedError unless
 ``fake=True``, in which case it produces a deterministic fake feature
 vector from the payload bytes. Everything Spark-side — schema, batch
 shape, partitioning, UDF signatures — is real and tested, so swapping in
-a real decoder (PIL/torchaudio/ffmpeg) is a one-function change.
+a full decoder (PIL/torchaudio/ffmpeg) stays a one-function change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,12 +48,89 @@ def payload_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode: RIFF/PCM WAV via the stdlib ``wave`` module.
+
+    Features (FEATURE_DIM=8): [sample_rate, n_channels, n_frames,
+    duration_ms, rms, peak, zero_crossing_rate, mean_abs] — amplitudes
+    normalized to [-1, 1]. 8/16/32-bit PCM supported."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width, nframes = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = (x - 128.0) / 128.0  # 8-bit WAV is unsigned
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    zcr = float(np.mean(np.diff(np.signbit(x)) != 0)) if x.size > 1 else 0.0
+    return np.array(
+        [
+            float(rate),
+            float(nch),
+            float(nframes),
+            1000.0 * nframes / rate if rate else 0.0,
+            float(np.sqrt(np.mean(x * x))) if x.size else 0.0,
+            float(np.max(np.abs(x))) if x.size else 0.0,
+            zcr,
+            float(np.mean(np.abs(x))) if x.size else 0.0,
+        ]
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode: uncompressed 24-bit BI_RGB BMP via numpy.
+
+    Features (FEATURE_DIM=8): [width, height, mean_r, mean_g, mean_b,
+    gray_std, gray_min, gray_max] — channel means in [0, 255]."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if height > 0:
+        px = px[::-1]  # bottom-up storage
+    bgr = px.astype(np.float64)
+    gray = bgr.mean(axis=2)
+    return np.array(
+        [
+            float(width),
+            float(h),
+            float(bgr[..., 2].mean()),  # BMP stores BGR
+            float(bgr[..., 1].mean()),
+            float(bgr[..., 0].mean()),
+            float(gray.std()),
+            float(gray.min()),
+            float(gray.max()),
+        ]
+    )
+
+
 def decode_stub(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
     """Decode a media payload into a feature vector.
 
-    Real decoders (PIL / torchaudio / cv2) are not available in this
-    container — the Spark plumbing around this stub is the deliverable.
+    ``audio/wav`` and ``image/bmp`` decode for REAL (stdlib + numpy);
+    codec formats (JPEG/PNG/MP3/MP4) still need PIL/torchaudio/ffmpeg,
+    which this container lacks — they raise unless ``fake=True``.
     """
+    if mime in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
+    if mime == "image/bmp":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
             f"no media decoder available for {mime}; install PIL/torchaudio "
