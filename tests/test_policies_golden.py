@@ -1131,6 +1131,9 @@ def test_ottl_istype_over_parsejson_build_error():
          [dict(attrs={"kv": "a:1,b:2"})], D.SAMPLED),
         ('ParseKeyValue(attributes["kv"])["a"] == "2"',
          [dict(attrs={"kv": "a=1 a=2"})], D.SAMPLED),
+        # split at the FIRST kv delimiter: the value keeps later ones
+        ('ParseKeyValue(attributes["kv"])["a"] == "b=c"',
+         [dict(attrs={"kv": "a=b=c x=1"})], D.SAMPLED),
         # absent key → nil → comparison false
         ('ParseKeyValue(attributes["kv"])["zz"] == "v"',
          [dict(attrs={"kv": "a=1"})], D.PENDING),
