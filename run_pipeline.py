@@ -21,7 +21,11 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="tail-sampling pipeline")
-    ap.add_argument("--input", required=True, help="sequences table (parquet/iceberg path)")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="sequences table: a parquet path, or iceberg:catalog.db.table",
+    )
     ap.add_argument("--config", required=True, help="policy YAML")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--output", required=True)
@@ -52,7 +56,9 @@ def main(argv=None):
         run_streaming(pipe, stream_sequences(spark, args.input))
         results = []
     else:
-        results = pipe.run(spark.read.parquet(args.input), n_batches=args.batches)
+        from atlassian_sampling_processor_spark.io_formats import read_table
+
+        results = pipe.run(read_table(spark, args.input), n_batches=args.batches)
 
     out = {
         "batches": [vars(r) for r in results],
