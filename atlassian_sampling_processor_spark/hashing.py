@@ -99,6 +99,59 @@ def fnv1a64_string_column(c: Column) -> Column:
     return _fnv_str(c)
 
 
+M32 = (1 << 32) - 1
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Scalar murmur3 x86 32-bit (Austin Appleby's reference; what Go's
+    github.com/spaolacci/murmur3 Sum32 computes) — the OTTL
+    ``Murmur3Hash`` converter and its test oracle."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & M32
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & M32
+        k = ((k << 15) | (k >> 17)) & M32
+        k = (k * c2) & M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & M32
+        h = (h * 5 + 0xE6546B64) & M32
+    k = 0
+    tail = data[4 * nblocks :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & M32
+        k = ((k << 15) | (k >> 17)) & M32
+        k = (k * c2) & M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M32
+    h ^= h >> 16
+    return h
+
+
+def murmur3_32_string_column(c: Column) -> Column:
+    """String column → int64 of the uint32 murmur3 sum (seed 0), the
+    contrib ``Murmur3Hash`` converter. Arrow-batched like the FNV string
+    kernel; NULL in → NULL out (error_column flags nil separately)."""
+
+    @pandas_udf("long")
+    def _mmh(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else murmur3_32(v.encode("utf-8"))
+        ).astype("Int64")
+
+    return _mmh(c)
+
+
 def unsigned_lte(signed_col: Column, unsigned_threshold: int) -> Column:
     """uint64(signed_col) <= unsigned_threshold, evaluated JVM-side.
 

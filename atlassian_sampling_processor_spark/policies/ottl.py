@@ -55,7 +55,16 @@ plus the forms real configs hit immediately beyond them:
   ``(?P<`` and Java ``(?<`` spellings accepted, RE2-guarded; a
   matching-but-empty group renders ``""`` where contrib omits the key),
   and ``FNV(target)`` (FNV-1a64 of the UTF-8 bytes as int64, via
-  hashing.py's Arrow-vectorized kernel). IsMatch
+  hashing.py's Arrow-vectorized kernel); wave 9 (round 5):
+  ``ConvertCase`` gains contrib's ``snake``/``camel`` modes (strcase
+  ASCII boundary rules), ``Sort(Split(x, ","), "asc"|"desc")[n]``
+  (func_sort; the Split list producer must stay indexed — Go's map
+  iteration makes unindexed use nondeterministic in the reference too),
+  ``Unix(seconds[, nanos])`` (func_unix; IntGetter semantics — nil or
+  non-integer values error) producing a TIME value usable with
+  Hour/UnixNano/TruncateTime, and ``Murmur3Hash(target)`` (murmur3
+  x86-32 seed 0 as int64, golden-pinned to the published test vectors).
+  IsMatch
   and grouper patterns are build-time rejected when they use Java-regex
   constructs RE2 cannot compile (lookarounds, backreferences, atomic
   groups, possessive quantifiers) — fail-to-start parity with the
@@ -229,6 +238,30 @@ class _Parser:
     def _parse_number(self, text: str):
         return ("lit", float(text) if "." in text else int(text))
 
+    def _parse_split_call(self):
+        """After the ``Split`` ident: ``(target, "delim")`` → (ast, delim)."""
+        self._expect("lparen")
+        target = self.parse_operand()
+        self._expect("comma")
+        delim = _unquote(self._expect("string"))
+        self._expect("rparen")
+        if not delim:
+            raise PolicyError(f"OTTL: Split delimiter must not be empty in {self.src!r}")
+        return target, delim
+
+    def _parse_index(self) -> int:
+        """A required ``[n]`` postfix (list consumers stay scalar-valued)."""
+        if self._peek()[0] != "lbracket":
+            raise PolicyError(
+                f"OTTL: list-valued converter must be indexed with [n] in {self.src!r}"
+            )
+        self._next()
+        idx = self._expect("number")
+        self._expect("rbracket")
+        if "." in idx:
+            raise PolicyError(f"OTTL: list index must be an int in {self.src!r}")
+        return int(idx)
+
     def _parse_primary(self):
         k, v = self._peek()
         if k == "string":
@@ -280,15 +313,17 @@ class _Parser:
                             f"OTTL: Substring {nm} must be an int literal in {self.src!r}"
                         )
                 return ("substr", target, start[1], length[1])
-            if v == "ConvertCase":  # ottlfuncs/func_convert_case.go
+            if v == "ConvertCase":  # ottlfuncs/func_convert_case.go — all
+                # four contrib modes; snake/camel follow strcase's ASCII
+                # boundary rules (wave 9)
                 self._expect("lparen")
                 target = self.parse_operand()
                 self._expect("comma")
                 mode = _unquote(self._expect("string")).lower()
-                if mode not in ("upper", "lower"):
+                if mode not in ("upper", "lower", "snake", "camel"):
                     raise PolicyError(
                         f"OTTL: ConvertCase mode {mode!r} unsupported "
-                        f"(upper/lower) in {self.src!r}"
+                        f"(upper/lower/snake/camel) in {self.src!r}"
                     )
                 self._expect("rparen")
                 return ("case", target, mode)
@@ -380,25 +415,52 @@ class _Parser:
                     )
                 return ("hour" if v == "Hour" else "unixnano", target)
             if v == "Split":  # ottlfuncs func_split: string + literal
-                # delimiter → []string, indexed with a [n] postfix (the
-                # only scalar-valued use in this grammar)
+                # delimiter → []string, indexed with a [n] postfix (or
+                # wrapped in Sort, the other list consumer)
+                target, delim = self._parse_split_call()
+                idx = self._parse_index()
+                return ("splitget", target, delim, idx)
+            if v == "Sort":  # ottlfuncs func_sort (wave 9): list sort asc/
+                # desc; the grammar's list producer is Split, and the
+                # result must be indexed [n] to stay scalar-valued (Go's
+                # map/list ordering makes any other use nondeterministic
+                # in the reference too)
                 self._expect("lparen")
-                target = self.parse_operand()
-                self._expect("comma")
-                delim = _unquote(self._expect("string"))
-                self._expect("rparen")
-                if not delim:
-                    raise PolicyError(f"OTTL: Split delimiter must not be empty in {self.src!r}")
-                if self._peek()[0] != "lbracket":
+                if self._peek() != ("ident", "Split"):
                     raise PolicyError(
-                        f"OTTL: Split(...) must be indexed with [n] in {self.src!r}"
+                        f"OTTL: Sort target must be Split(...) in {self.src!r}"
                     )
                 self._next()
-                idx = self._expect("number")
-                self._expect("rbracket")
-                if "." in idx:
-                    raise PolicyError(f"OTTL: Split index must be an int in {self.src!r}")
-                return ("splitget", target, delim, int(idx))
+                target, delim = self._parse_split_call()
+                order = "asc"
+                if self._peek()[0] == "comma":
+                    self._next()
+                    order = _unquote(self._expect("string")).lower()
+                    if order not in ("asc", "desc"):
+                        raise PolicyError(
+                            f"OTTL: Sort order {order!r} unsupported "
+                            f"(asc/desc) in {self.src!r}"
+                        )
+                self._expect("rparen")
+                idx = self._parse_index()
+                return ("sortget", target, delim, order, idx)
+            if v == "Unix":  # ottlfuncs func_unix (wave 9): epoch seconds
+                # (+ optional nanos) → time.Time
+                self._expect("lparen")
+                sec = self.parse_operand()
+                nanos = None
+                if self._peek()[0] == "comma":
+                    self._next()
+                    nanos = self.parse_operand()
+                self._expect("rparen")
+                return ("unixtime", sec, nanos)
+            if v == "Murmur3Hash":  # ottlfuncs func_murmur3hash (wave 9):
+                # murmur3 x86 32-bit, seed 0, over the UTF-8 bytes →
+                # int64 of the uint32 sum (non-negative)
+                self._expect("lparen")
+                target = self.parse_operand()
+                self._expect("rparen")
+                return ("murmur3", target)
             if v == "ParseJSON":  # ottlfuncs func_parse_json: string →
                 # map; indexable with the ["key"] postfix. Resolution is
                 # lazy per key (get_json_object) — the map itself is
@@ -868,7 +930,24 @@ def _operand_column(ast, ctx: str) -> Column:
         return target.substr(ast[2] + 1, ast[3])  # OTTL 0-based → SQL 1-based
     if kind == "case":
         target = _operand_column(ast[1], ctx).cast("string")
-        return F.upper(target) if ast[2] == "upper" else F.lower(target)
+        if ast[2] == "upper":
+            return F.upper(target)
+        if ast[2] == "lower":
+            return F.lower(target)
+        if ast[2] == "snake":  # strcase.ToSnake (ASCII): boundary _ at
+            # lower/digit→Upper and UPPER-run→Upper-lower; space/hyphen → _
+            s = F.regexp_replace(target, r"[ \-]", "_")
+            s = F.regexp_replace(s, r"([a-z0-9])([A-Z])", r"$1_$2")
+            s = F.regexp_replace(s, r"([A-Z]+)([A-Z][a-z])", r"$1_$2")
+            return F.lower(s)
+        # camel (strcase.ToCamel: UpperCamel): split on _/-/space,
+        # capitalize each part's first letter, keep the rest verbatim
+        parts = F.split(F.regexp_replace(target, r"[ \-]", "_"), "_", -1)
+        cap = F.transform(
+            parts,
+            lambda p: F.concat(F.upper(p.substr(1, 1)), p.substr(F.lit(2), F.length(p))),
+        )
+        return F.array_join(cap, "")
     if kind == "concat":
         parts = [_operand_column(t, ctx).cast("string") for t in ast[1]]
         return F.concat_ws(ast[2], *parts)
@@ -904,6 +983,22 @@ def _operand_column(ast, ctx: str) -> Column:
         # Go strings.Split is a LITERAL delimiter; Spark split takes a
         # regex — escape it. Out-of-range index → NULL (nil), not error.
         return F.get(F.split(tgt, re.escape(ast[2]), -1), ast[3])
+    if kind == "sortget":
+        tgt = _operand_column(ast[1], ctx).cast("string")
+        arr = F.array_sort(F.split(tgt, re.escape(ast[2]), -1))
+        if ast[3] == "desc":
+            arr = F.reverse(arr)
+        return F.get(arr, ast[4])
+    if kind == "unixtime":
+        sec = _numeric_operand(ast[1], ctx).try_cast("long")
+        ns = sec * F.lit(1_000_000_000)
+        if ast[2] is not None:
+            ns = ns + _numeric_operand(ast[2], ctx).try_cast("long")
+        return ns
+    if kind == "murmur3":
+        from ..hashing import murmur3_32_string_column
+
+        return murmur3_32_string_column(_operand_column(ast[1], ctx).cast("string"))
     if kind == "trim":
         tgt = _operand_column(ast[1], ctx).cast("string")
         return F.btrim(tgt, F.lit(ast[2]))  # btrim = strings.Trim cutset
@@ -1043,12 +1138,12 @@ def _ast_is_numeric(ast) -> bool:
         return ast[1] in ("long", "double")
     if kind == "arith":
         return True  # both sides already coerced numeric
-    if kind in ("time", "trunctime", "hour", "unixnano"):
+    if kind in ("time", "trunctime", "hour", "unixnano", "unixtime"):
         return True  # int64 unix nanos / hour-of-day
     if kind in ("durfold", "timepart", "unixdiv", "logconv"):
         return True  # duration folds / calendar parts / unix divs / ln
-    if kind == "fnv":
-        return True  # int64 hash
+    if kind in ("fnv", "murmur3"):
+        return True  # int64 hashes
     return False  # substr/case/concat/trim/hashconv/ismatch/string paths
 
 
@@ -1087,7 +1182,7 @@ def _static_type(ast) -> str:
     if kind == "arith":
         l, r = _static_type(ast[2]), _static_type(ast[3])
         return "int" if l == "int" and r == "int" else "double"
-    if kind in ("time", "trunctime"):
+    if kind in ("time", "trunctime", "unixtime"):
         return "time"
     if kind in ("hour", "unixnano", "timepart", "unixdiv"):
         return "int"
@@ -1095,12 +1190,12 @@ def _static_type(ast) -> str:
         return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
     if kind == "logconv":
         return "double"
-    if kind == "fnv":
+    if kind in ("fnv", "murmur3"):
         return "int"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
-    # substr/case/concat/trim/hashconv/jsonget/splitget/format/hexenc/
-    # decode64/kvget/extractpat
+    # substr/case/concat/trim/hashconv/jsonget/splitget/sortget/format/
+    # hexenc/decode64/kvget/extractpat
     return "string"
 
 
@@ -1186,10 +1281,15 @@ def validate_paths(ast, ctx: str) -> None:
     elif kind == "not":
         validate_paths(ast[1], ctx)
     elif kind in ("ismatch", "len", "substr", "case", "time", "trunctime",
-                  "hour", "unixnano", "splitget", "trim", "hashconv",
-                  "durfold", "timepart", "unixdiv", "logconv", "hexenc",
-                  "decode64", "kvget", "extractpat", "fnv"):
+                  "hour", "unixnano", "splitget", "sortget", "trim",
+                  "hashconv", "durfold", "timepart", "unixdiv", "logconv",
+                  "hexenc", "decode64", "kvget", "extractpat", "fnv",
+                  "murmur3"):
         validate_paths(ast[1], ctx)
+    elif kind == "unixtime":
+        validate_paths(ast[1], ctx)
+        if ast[2] is not None:
+            validate_paths(ast[2], ctx)
     elif kind == "format":
         for t in ast[3]:
             validate_paths(t, ctx)
@@ -1300,11 +1400,21 @@ def error_column(ast, ctx: str) -> Column:
         x = _numeric_operand(ast[1], ctx)
         bad = tgt.isNotNull() & (x.isNull() | (x <= 0))
         return error_column(ast[1], ctx) | tgt.isNull() | F.coalesce(bad, f)
-    if kind == "splitget":
-        # func_split: StandardStringLikeGetter nil error; an
-        # out-of-range index is nil, not an error
+    if kind in ("splitget", "sortget", "murmur3"):
+        # func_split / func_sort / func_murmur3hash: StringLikeGetter nil
+        # error; an out-of-range index is nil, not an error
         tgt = _operand_column(ast[1], ctx)
         return error_column(ast[1], ctx) | tgt.isNull()
+    if kind == "unixtime":
+        # func_unix: IntGetter — nil or a non-integer value errors
+        out = f
+        for arg in (ast[1], ast[2]):
+            if arg is None:
+                continue
+            c = _operand_column(arg, ctx)
+            # isNull() is itself never NULL: nil and unparseable both flag
+            out = out | error_column(arg, ctx) | c.cast("string").try_cast("long").isNull()
+        return out
     if kind == "format":
         # func_format: Sprintf never errors (nil renders %!v(<nil>));
         # only the arg getters' own errors surface

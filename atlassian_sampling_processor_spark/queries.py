@@ -522,6 +522,7 @@ def sampling_queries() -> dict[str, tuple]:
         "ottl_wave6_policy": (q_ottl_wave6_policy, SQL_OTTL_WAVE6),
         "ottl_wave7_policy": (q_ottl_wave7_policy, SQL_OTTL_WAVE7),
         "ottl_wave8_policy": (q_ottl_wave8_policy, SQL_OTTL_WAVE8),
+        "ottl_wave9_policy": (q_ottl_wave9_policy, SQL_OTTL_WAVE9),
         "span_count_services_log": (q_span_count_services, SQL_SPAN_COUNT_SERVICES),
     }
 
@@ -1102,6 +1103,58 @@ def q_ottl_wave8_policy(spark, sf_dir):
         "trace_key",
         F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
     )
+
+
+def q_ottl_wave9_policy(spark, sf_dir):
+    """ottl_condition, wave-9 grammar (round 5): ``ConvertCase`` snake
+    mode, ``Sort(Split(...))[n]`` and ``Hour(Unix(Int(...)))`` through
+    the real OTTLCondition builder. The oracle is fully independent
+    (arithmetic + strftime over the source columns): snake-casing
+    ``<type>Case<d>`` equals ``error_case2`` iff type='error' ∧ d=2; the
+    desc-sorted CSV's head equals 'view' iff type='view' (every other
+    type sorts below the literal 'm' or above it but ≠ 'view'); the
+    Unix-seconds hour matches strftime('%H') because the session zone is
+    pinned UTC (timezone-proof like waves 6–7)."""
+    from .policies import OTTLCondition
+
+    pol = OTTLCondition(
+        name="wave9",
+        span_conditions=[
+            'ConvertCase(attributes["s"], "snake") == "error_case2"'
+            ' or Sort(Split(attributes["csv"], ","), "desc")[0] == "view"'
+            ' or Hour(Unix(Int(attributes["sec"]))) >= 18'
+        ],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast("long")
+    spans = ev.select(
+        F.col("user_id").cast("long").alias("trace_key"),
+        F.create_map(
+            F.lit("s"),
+            F.concat("event_type", F.lit("Case"), (F.col("event_id") % 7).cast("string")),
+            F.lit("csv"),
+            F.concat("event_type", F.lit(",m,"), (F.col("event_id") % 5).cast("string")),
+            F.lit("sec"), sec.cast("string"),
+        ).alias("attrs"),
+        F.lit(None).cast("string").alias("event_name"),
+        F.lit(None).cast("map<string,string>").alias("event_attrs"),
+    )
+    agg = spans.groupBy("trace_key").agg(*pol.span_agg_exprs())
+    return agg.select(
+        "trace_key",
+        F.when(F.col(pol._flag()), "Sampled").otherwise("Pending").alias("decision"),
+    )
+
+
+SQL_OTTL_WAVE9 = """
+  SELECT user_id AS trace_key,
+         CASE WHEN max(CASE WHEN (event_type = 'error' AND event_id % 7 = 2)
+               OR event_type = 'view'
+               OR CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) >= 18
+             THEN 1 ELSE 0 END) = 1
+              THEN 'Sampled' ELSE 'Pending' END AS decision
+  FROM events GROUP BY user_id
+"""
 
 
 SQL_OTTL_WAVE8 = """

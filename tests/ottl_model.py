@@ -144,7 +144,7 @@ def _static_type(ast) -> str:
     if kind == "arith":
         l, r = _static_type(ast[2]), _static_type(ast[3])
         return "int" if l == "int" and r == "int" else "double"
-    if kind in ("time", "trunctime"):
+    if kind in ("time", "trunctime", "unixtime"):
         return "time"
     if kind in ("hour", "unixnano", "timepart", "unixdiv"):
         return "int"
@@ -152,7 +152,7 @@ def _static_type(ast) -> str:
         return "double" if ast[2] in ("hours", "minutes", "seconds") else "int"
     if kind == "logconv":
         return "double"
-    if kind == "fnv":
+    if kind in ("fnv", "murmur3"):
         return "int"
     if kind in ("ismatch", "isroot", "istype", "and", "or", "not", "cmp"):
         return "bool"
@@ -207,7 +207,17 @@ def eval_operand(ast, ctx, span):
         s = _render(eval_operand(ast[1], ctx, span))
         if s is None:
             raise OttlError("ConvertCase(nil)")
-        return s.upper() if ast[2] == "upper" else s.lower()
+        if ast[2] == "upper":
+            return s.upper()
+        if ast[2] == "lower":
+            return s.lower()
+        if ast[2] == "snake":
+            t = re.sub(r"[ \-]", "_", s)
+            t = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", t)
+            t = re.sub(r"([A-Z]+)([A-Z][a-z])", r"\1_\2", t)
+            return t.lower()
+        parts = re.sub(r"[ \-]", "_", s).split("_")
+        return "".join(p[:1].upper() + p[1:] for p in parts)
     if kind == "concat":
         parts = [_render(eval_operand(t, ctx, span)) for t in ast[1]]
         return ast[2].join(p for p in parts if p is not None)
@@ -309,6 +319,58 @@ def eval_operand(ast, ctx, span):
             raise OttlError("Split(nil)")
         parts = s.split(ast[2])
         return parts[ast[3]] if 0 <= ast[3] < len(parts) else None
+    if kind == "sortget":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Sort(nil)")
+        parts = sorted(s.split(ast[2]), reverse=(ast[3] == "desc"))
+        return parts[ast[4]] if 0 <= ast[4] < len(parts) else None
+    if kind == "unixtime":
+        ns = 0
+        for i, arg in enumerate((ast[1], ast[2])):
+            if arg is None:
+                continue
+            v = eval_operand(arg, ctx, span)
+            if v is None:
+                raise OttlError("Unix(nil)")
+            s = _render(v).strip()
+            if not _INT_RE.match(s):
+                raise OttlError(f"Unix({s!r})")  # IntGetter non-int error
+            ns += int(s) * (1_000_000_000 if i == 0 else 1)
+        return ns
+    if kind == "murmur3":
+        s = _render(eval_operand(ast[1], ctx, span))
+        if s is None:
+            raise OttlError("Murmur3Hash(nil)")
+        # independent murmur3 x86-32 (seed 0), written from the spec
+        import struct
+
+        data = s.encode("utf-8")
+        h = 0
+        m32 = 0xFFFFFFFF
+        for (k,) in struct.iter_unpack("<I", data[: len(data) // 4 * 4]):
+            k = (k * 0xCC9E2D51) & m32
+            k = ((k << 15) & m32) | (k >> 17)
+            k = (k * 0x1B873593) & m32
+            h ^= k
+            h = ((h << 13) & m32) | (h >> 19)
+            h = (h * 5 + 0xE6546B64) & m32
+        tail = data[len(data) // 4 * 4 :]
+        k = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k = (k << 8) | tail[i]
+        if tail:
+            k = (k * 0xCC9E2D51) & m32
+            k = ((k << 15) & m32) | (k >> 17)
+            k = (k * 0x1B873593) & m32
+            h ^= k
+        h ^= len(data)
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & m32
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & m32
+        h ^= h >> 16
+        return h
     if kind == "format":
         segs, verbs, args = ast[1], ast[2], ast[3]
         out = [segs[0]]

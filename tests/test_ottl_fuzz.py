@@ -81,15 +81,19 @@ def rnd_operand(rng: random.Random, depth: int = 0) -> str:
         return f"{part}({rng.choice(TIME_OPS)})"
     if roll < 0.99:
         return f"Log({inner()})"
-    if roll < 0.996:  # wave 8 string/bytes converters
+    if roll < 0.996:  # wave 8/9 string/bytes converters
         return rng.choice(
             [
                 f"Hex({inner()})",
                 f"FNV({inner()})",
+                f"Murmur3Hash({inner()})",
                 f'Decode({inner()}, "base64")',
                 f'Format("w8=%s", [{inner()}])',
                 f'ParseKeyValue({inner()})["k1"]',
                 f'ExtractPatterns({inner()}, "(?P<d>[0-9]+)")["d"]',
+                f'Sort(Split({inner()}, ","), "{rng.choice(["asc", "desc"])}")'
+                f"[{rng.randint(0, 2)}]",
+                f'ConvertCase({inner()}, "{rng.choice(["snake", "camel"])}")',
             ]
         )
     return f'Duration("{rng.choice(["5ms", "2s", "1h30m"])}")'
@@ -223,6 +227,15 @@ WAVE8_CONDS = [
     'ExtractPatterns(attributes["num"], "(?P<d>[0-9]+)")["d"] == "42"',
     'ExtractPatterns(attributes["missing"], "(?P<d>.)")["d"] == "x"',
     'ExtractPatterns(name, "(?<w>[a-z]+)")["w"] != nil',
+    # wave 9
+    'Sort(Split(attributes["t"], ","))[0] != nil',
+    'Sort(Split(attributes["t"], ","), "desc")[1] == "b:2"',
+    'Murmur3Hash(attributes["k1"]) > 0',
+    'Murmur3Hash(Concat([name, attributes["missing"]], "-")) != nil',
+    'ConvertCase(attributes["k1"], "snake") != nil',
+    'ConvertCase(attributes["num"], "camel") == "NotANumber"',
+    'UnixNano(Unix(Int(attributes["num"]))) > 0',
+    'Hour(Unix(1709650050, 7)) == 14',
 ]
 
 

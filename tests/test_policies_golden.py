@@ -1212,3 +1212,72 @@ def test_ottl_wave8_build_errors():
         OTTLCondition(
             name="o", span_conditions=['ExtractPatterns(name, "(?P<a>x(?=y))")["a"] == "1"']
         )
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        # ConvertCase snake/camel (strcase ASCII rules)
+        ('ConvertCase(attributes["s"], "snake") == "batch_window_spark"',
+         [dict(attrs={"s": "batchWindowSpark"})], D.SAMPLED),
+        ('ConvertCase(attributes["s"], "snake") == "http_server_v2"',
+         [dict(attrs={"s": "HTTPServer-v2"})], D.SAMPLED),
+        ('ConvertCase(attributes["s"], "camel") == "SpanKindX"',
+         [dict(attrs={"s": "span_kind_x"})], D.SAMPLED),
+        ('ConvertCase(attributes["s"], "camel") == "AbC"',
+         [dict(attrs={"s": "ab c"})], D.SAMPLED),
+        # Sort(Split(...))[n], asc default / desc
+        ('Sort(Split(attributes["csv"], ","))[0] == "a"',
+         [dict(attrs={"csv": "c,a,b"})], D.SAMPLED),
+        ('Sort(Split(attributes["csv"], ","), "desc")[0] == "c"',
+         [dict(attrs={"csv": "c,a,b"})], D.SAMPLED),
+        # out-of-range index is nil, not an error (like Split)
+        ('Sort(Split(attributes["csv"], ","))[9] == "a"',
+         [dict(attrs={"csv": "c,a,b"})], D.PENDING),
+        # Unix: epoch seconds (+ nanos) -> time
+        ('Hour(Unix(1709650050)) == 14', [dict()], D.SAMPLED),
+        ('UnixNano(Unix(1, 500)) == 1000000500', [dict()], D.SAMPLED),
+        ('Unix(Int(attributes["sec"])) == start_time',
+         [dict(attrs={"sec": "1709650050"}, start_ts=1709650050000000000)],
+         D.SAMPLED),
+        # Murmur3Hash: x86-32 seed 0, int64 of the uint32 sum
+        ('Murmur3Hash(attributes["k"]) == 3017643002',
+         [dict(attrs={"k": "abc"})], D.SAMPLED),
+        ('Murmur3Hash(attributes["k"]) == 613153351',
+         [dict(attrs={"k": "hello"})], D.SAMPLED),
+    ],
+)
+def test_ottl_wave9_golden(spark, cond, spans, expected):
+    pol = OTTLCondition(name="ottl_w9", span_conditions=[cond])
+    assert eval_ottl(spark, pol, spans) == expected
+
+
+@pytest.mark.parametrize(
+    "cond,spans,expected",
+    [
+        ('Sort(Split(attributes["x"], ","))[0] == "a"', [dict(attrs={})], D.UNSPECIFIED),
+        ('Murmur3Hash(attributes["x"]) > 0', [dict(attrs={})], D.UNSPECIFIED),
+        # func_unix IntGetter: nil and non-integer values error
+        ('UnixNano(Unix(Int(attributes["x"]))) > 0', [dict(attrs={})], D.UNSPECIFIED),
+        ('UnixNano(Unix(attributes["n"])) > 0',
+         [dict(attrs={"n": "not-int"})], D.UNSPECIFIED),
+        ('UnixNano(Unix(attributes["n"])) == 7000000000',
+         [dict(attrs={"n": "7"})], D.SAMPLED),
+    ],
+)
+def test_ottl_wave9_propagate_errors(spark, cond, spans, expected):
+    pol = OTTLCondition(name="w9err", span_conditions=[cond], error_mode="propagate")
+    assert eval_ottl_policy(spark, pol, spans) == expected
+
+
+def test_ottl_wave9_build_errors():
+    with pytest.raises(PolicyError, match="Sort target"):
+        OTTLCondition(name="o", span_conditions=['Sort(name)[0] == "a"'])
+    with pytest.raises(PolicyError, match="Sort order"):
+        OTTLCondition(
+            name="o", span_conditions=['Sort(Split(name, ","), "up")[0] == "a"']
+        )
+    with pytest.raises(PolicyError, match="must be indexed"):
+        OTTLCondition(name="o", span_conditions=['Sort(Split(name, ",")) == "a"'])
+    with pytest.raises(PolicyError, match="ConvertCase mode"):
+        OTTLCondition(name="o", span_conditions=['ConvertCase(name, "title") == "a"'])
