@@ -33,12 +33,14 @@ def _all() -> dict[str, tuple]:
     from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
     from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
     from atlassian_sampling_processor_spark.functions.dataops3 import dataops3_queries
+    from atlassian_sampling_processor_spark.functions.logops import logops_queries
     from atlassian_sampling_processor_spark.queries import sampling_queries
 
     out = dict(sampling_queries())
     out.update(dataops_queries())
     out.update(dataops2_queries())
     out.update(dataops3_queries())
+    out.update(logops_queries())
     return out
 
 
