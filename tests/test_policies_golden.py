@@ -456,8 +456,10 @@ def test_ottl_wave4_converters_golden(spark, span_conds, spans, expected):
 
 
 def test_ottl_wave4_build_errors():
+    # "snake"/"camel" graduated to supported modes in wave 9; "title"
+    # remains outside the contrib mode set
     with pytest.raises(PolicyError, match="ConvertCase mode"):
-        OTTLCondition(name="o", span_conditions=['ConvertCase(name, "snake") == "x"'])
+        OTTLCondition(name="o", span_conditions=['ConvertCase(name, "title") == "x"'])
     with pytest.raises(PolicyError, match="unknown converter"):
         OTTLCondition(name="o", span_conditions=['Truncate(name, 3) == "spa"'])
 
