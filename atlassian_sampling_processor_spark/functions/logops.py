@@ -202,9 +202,108 @@ SQL_ROLLUP_CUBE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. z-score outliers with exact integer moments
+
+
+def q_value_outliers(spark, sf_dir) -> DataFrame:
+    """(event_id, event_type, z): events whose `value` deviates > 2σ from
+    their type's mean. Both moments are EXACT integer sums over
+    fixed-point milli-units (Σm < 2⁶³, Σm² < 2⁶³ for this domain), so
+    mean/σ are the same IEEE doubles in every engine and partition
+    order; per-type stats broadcast back onto the events."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.floor(F.col("value") * 1000).cast("long").alias("m")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("m") - mean) / F.sqrt(var)
+    return (
+        j.filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+SQL_VALUE_OUTLIERS = """
+  WITH ev AS (
+    SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS m
+    FROM events
+  ),
+  st AS (
+    SELECT event_type, count(*) AS n, sum(m) AS s1, sum(m * m) AS s2
+    FROM ev GROUP BY event_type
+  )
+  SELECT event_id, ev.event_type,
+         round((m - s1 / CAST(n AS DOUBLE))
+               / sqrt(s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))), 6)
+           AS z
+  FROM ev JOIN st ON ev.event_type = st.event_type
+  WHERE abs((m - s1 / CAST(n AS DOUBLE))
+            / sqrt(s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))) > 2.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. event-type transition mining
+
+TRANSITIONS_TOPK = 20
+
+
+def q_event_transitions(spark, sf_dir) -> DataFrame:
+    """(prev_type, next_type, n): global top-20 consecutive event-type
+    transitions within each user's (ts, event_id)-ordered stream — the
+    Markov-chain edge counts of the event log. Lag window inside the
+    user_id shuffle → partial-agg count → TakeOrdered top-K; ties break
+    on the pair strings."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return (
+        pairs.groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "prev_type", "next_type")
+        .limit(TRANSITIONS_TOPK)
+    )
+
+
+SQL_EVENT_TRANSITIONS = f"""
+  WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+  ),
+  pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev_type,
+           event_type AS next_type
+    FROM ev
+  )
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+  ORDER BY n DESC, prev_type, next_type
+  LIMIT {TRANSITIONS_TOPK}
+"""
+
+
 def logops_queries() -> dict[str, tuple]:
     return {
         "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
         "funnel_conversion": (q_funnel, SQL_FUNNEL),
         "events_rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
+        "events_value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
+        "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     }
