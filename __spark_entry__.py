@@ -33,6 +33,7 @@ def _all() -> dict[str, tuple]:
     from atlassian_sampling_processor_spark.functions.dataops import dataops_queries
     from atlassian_sampling_processor_spark.functions.dataops2 import dataops2_queries
     from atlassian_sampling_processor_spark.functions.dataops3 import dataops3_queries
+    from atlassian_sampling_processor_spark.functions.incremental import incremental_queries
     from atlassian_sampling_processor_spark.functions.logops import logops_queries
     from atlassian_sampling_processor_spark.queries import sampling_queries
 
@@ -41,6 +42,7 @@ def _all() -> dict[str, tuple]:
     out.update(dataops2_queries())
     out.update(dataops3_queries())
     out.update(logops_queries())
+    out.update(incremental_queries())
     return out
 
 
